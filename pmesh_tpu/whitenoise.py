@@ -1,0 +1,170 @@
+"""Resolution-invariant hermitian white noise.
+
+Two generators:
+
+``compat='native'`` — TPU-native counter-based generator.  Every
+Fourier mode's sample is a pure function of (seed, signed integer mode
+vector) through a threefry hash, evaluated for all modes in one
+vectorized pass on device.  Because the key is the *signed* mode
+vector (an N-independent quantity), a larger mesh reproduces a smaller
+mesh's low-k modes exactly — the same resolution invariance the
+reference achieves with its inside-out serial seed-table spiral
+(_whitenoise_generics.h:76-93), but embarrassingly parallel instead of
+an O(Nmesh^2) serial RNG walk that every rank must replay.
+
+``compat='gadget'`` — bit-compatible with the reference / N-GenIC
+(pmesh/_whitenoise_imp.c, _whitenoise_generics.h): the gsl ranlxd1
+seed-table scheme, evaluated by the native C++ runtime library
+(pmesh_tpu/native/) on the host and transferred to device.  Use this
+when matching Gadget initial conditions bit-for-bit.
+
+Both produce hermitian fields with per-component std 1/sqrt(2)
+(reference test_whitenoise.py:11-12) and fill either the compressed
+half spectrum or the full complex cube consistently
+(test_whitenoise.py:62-99).
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["generate", "generate_native", "generate_gadget"]
+
+
+def _signed_modes(Nmesh, shape):
+    """Signed integer mode coordinate arrays (broadcastable), with the
+    Nyquist frequency represented as -N/2 (the fft convention used by
+    the coordinate arrays, pm.py:1189-1191)."""
+    coords = []
+    ndim = len(Nmesh)
+    for d in range(ndim):
+        n = shape[d]
+        t = [1] * ndim
+        t[d] = n
+        i = np.arange(n)
+        m = np.where(i >= Nmesh[d] // 2, i - Nmesh[d], i)
+        # the last axis of a compressed layout runs 0..N/2 inclusive;
+        # arange < N/2 stays positive except the final N/2 entry
+        coords.append(m.reshape(t).astype(np.int64))
+    return coords
+
+
+def _neg_mode(m, Nmesh_d):
+    """Negate a signed mode component; the Nyquist -N/2 is self-dual."""
+    return jnp.where(m == -(Nmesh_d // 2), m, -m)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 3))
+def _native_fill(Nmesh, shape, seed, unitary):
+    ndim = len(Nmesh)
+    coords_np = _signed_modes(Nmesh, shape)
+    m = [jnp.asarray(c) for c in coords_np]
+    mneg = [_neg_mode(m[d], Nmesh[d]) for d in range(ndim)]
+
+    # canonical representative of {m, -m}: lexicographically greater
+    gt = jnp.zeros(shape, dtype=bool)
+    eq = jnp.ones(shape, dtype=bool)
+    for d in range(ndim):
+        gt = gt | (eq & (m[d] > mneg[d]))
+        eq = eq & (m[d] == mneg[d])
+    isrep = gt | eq          # self-conjugate modes are their own rep
+    selfconj = eq
+
+    rep = [jnp.where(isrep, m[d], mneg[d]) for d in range(ndim)]
+
+    # per-mode key: fold each signed component (as a two's-complement
+    # uint32 word, an N-independent encoding) into the seed key.  Each
+    # fold is one vectorized threefry application over all modes.
+    base = jax.random.fold_in(jax.random.key(0),
+                              jnp.asarray(seed, dtype=jnp.uint32))
+
+    def mode_key(*comps):
+        k = base
+        for c in comps:
+            k = jax.random.fold_in(k, c)
+        return k
+
+    words = [jnp.broadcast_to(
+        jax.lax.bitcast_convert_type(rep[d].astype(jnp.int32), jnp.uint32),
+        shape).reshape(-1) for d in range(ndim)]
+    keys = jax.vmap(mode_key)(*words)
+
+    fdtype = jnp.float64 if jax.config.x64_enabled else jnp.float32
+    u = jax.vmap(lambda k: jax.random.uniform(k, (2,), dtype=fdtype))(keys)
+    u1 = u[:, 0].reshape(shape)
+    u2 = u[:, 1].reshape(shape)
+
+    phase = 2 * jnp.pi * u2
+    if unitary:
+        ampl = jnp.ones_like(u1)
+    else:
+        u1 = jnp.where(u1 == 0, 1.0, u1)   # avoid log(0)
+        ampl = jnp.sqrt(-jnp.log(u1))
+
+    re = ampl * jnp.cos(phase)
+    im = ampl * jnp.sin(phase)
+    # conjugate for the non-representative member of the pair
+    im = jnp.where(isrep, im, -im)
+    # self conjugate modes are real (reference generics:204-211)
+    im = jnp.where(selfconj, 0.0, im)
+    re = jnp.where(selfconj & unitary, 1.0, re)
+    # DC mode is zero (generics:213-216)
+    dc = functools.reduce(jnp.logical_and,
+                          [m[d] == 0 for d in range(ndim)])
+    re = jnp.where(dc, 0.0, re)
+    im = jnp.where(dc, 0.0, im)
+    return re + 1j * im
+
+
+def generate_native(Nmesh, shape, seed, unitary=False, dtype=None):
+    """Counter-based on-device generator (see module docstring)."""
+    Nmesh = tuple(int(n) for n in Nmesh)
+    shape = tuple(int(n) for n in shape)
+    value = _native_fill(Nmesh, shape, int(seed), bool(unitary))
+    if dtype is not None:
+        value = value.astype(dtype)
+    return value
+
+
+def generate_gadget(Nmesh, shape, seed, unitary=False, dtype=None,
+                    start=None):
+    """Gadget/N-GenIC bit-compatible generator via the native C++
+    runtime (pmesh_tpu/native/librt: ranlxd1 + seed-table scheme,
+    mirroring _whitenoise_generics.h semantics)."""
+    from .native import runtime
+    Nmesh = tuple(int(n) for n in Nmesh)
+    shape = tuple(int(n) for n in shape)
+    if start is None:
+        start = (0,) * len(Nmesh)
+    value = runtime.whitenoise_fill(Nmesh, shape, start, int(seed),
+                                    bool(unitary))
+    value = jnp.asarray(value)
+    if dtype is not None:
+        value = value.astype(dtype)
+    return value
+
+
+def generate(Nmesh, shape, seed, unitary=False, dtype=None,
+             compat='gadget', start=None):
+    """Generate hermitian white noise modes.
+
+    Parameters
+    ----------
+    Nmesh : tuple
+        global mesh size.
+    shape : tuple
+        shape of the requested (complex) output; compressed when the
+        last axis is Nmesh[-1]//2+1, full when it is Nmesh[-1].
+    compat : 'gadget' or 'native'
+        see module docstring.
+    start : tuple or None
+        offset of the requested block in the global mode cube
+        (gadget mode only; mirrors _whitenoise.pyx's start argument).
+    """
+    if compat == 'native':
+        return generate_native(Nmesh, shape, seed, unitary, dtype)
+    if compat == 'gadget':
+        return generate_gadget(Nmesh, shape, seed, unitary, dtype,
+                               start=start)
+    raise ValueError("compat must be 'gadget' or 'native'")
