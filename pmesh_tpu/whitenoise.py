@@ -131,14 +131,31 @@ def generate_gadget(Nmesh, shape, seed, unitary=False, dtype=None,
                     start=None):
     """Gadget/N-GenIC bit-compatible generator via the native C++
     runtime (pmesh_tpu/native/librt: ranlxd1 + seed-table scheme,
-    mirroring _whitenoise_generics.h semantics)."""
-    from .native import runtime
+    mirroring _whitenoise_generics.h semantics).
+
+    1-d/2-d meshes use a partition-invariant (but not
+    resolution-invariant) numpy fallback, as in the reference
+    (whitenoise.py:23-37)."""
     Nmesh = tuple(int(n) for n in Nmesh)
     shape = tuple(int(n) for n in shape)
     if start is None:
         start = (0,) * len(Nmesh)
-    value = runtime.whitenoise_fill(Nmesh, shape, start, int(seed),
-                                    bool(unitary))
+    if len(Nmesh) == 3:
+        from .native import runtime
+        value = runtime.whitenoise_fill(Nmesh, shape, start, int(seed),
+                                        bool(unitary),
+                                        dtype=dtype or 'complex128')
+    elif len(Nmesh) <= 2:
+        rng = np.random.RandomState(seed)
+        real = rng.normal(size=Nmesh)
+        full = np.fft.fftn(real)
+        full *= np.prod(Nmesh) ** -0.5
+        slices = tuple(slice(a, a + b) for a, b in zip(start, shape))
+        value = full[slices]
+        if unitary:
+            value = np.exp(1j * np.angle(value))
+    else:
+        raise ValueError("only up to 3-d whitenoise is supported")
     value = jnp.asarray(value)
     if dtype is not None:
         value = value.astype(dtype)

@@ -369,3 +369,19 @@ def test_slab_iter():
         assert np.ndim(slab) == 2
         count += 1
     assert count == 4
+
+
+def test_whitenoise_resolution_invariance():
+    # reference test_pm.py:634-652: generate at 16^3 and 32^3, resample
+    # both down to 8^3, require equality of the shared low-k modes.
+    pm16 = ParticleMesh(BoxSize=8.0, Nmesh=[16, 16, 16])
+    pm32 = ParticleMesh(BoxSize=8.0, Nmesh=[32, 32, 32])
+    pm8 = ParticleMesh(BoxSize=8.0, Nmesh=[8, 8, 8])
+    c16 = pm16.generate_whitenoise(seed=99, type='complex')
+    c32 = pm32.generate_whitenoise(seed=99, type='complex')
+    d16 = pm8.create(type='complex')
+    d32 = pm8.create(type='complex')
+    c16.resample(d16)
+    c32.resample(d32)
+    assert_allclose(np.asarray(d16.value), np.asarray(d32.value),
+                    atol=1e-13)

@@ -1,0 +1,146 @@
+"""White-noise tests, mirroring pmesh/tests/test_whitenoise.py.
+
+Gadget mode: std 1/sqrt(2), sub-box == full-box slice (bit exact),
+literal N-GenIC values for the Illustris seed 5463, hermitian
+symmetry, full-vs-compressed consistency.  Native mode: the same
+statistical and structural properties with the counter-based
+generator, plus resolution invariance.
+"""
+import numpy as np
+from numpy.testing import assert_array_equal, assert_allclose
+import pytest
+
+from pmesh_tpu import whitenoise
+
+
+def gen(Nmesh, shape, seed, unitary=False, compat='gadget', start=None):
+    return np.asarray(whitenoise.generate(
+        Nmesh, shape, seed, unitary, compat=compat, start=start))
+
+
+def test_gadget_3d_std():
+    N = 64
+    v = gen((N, N, N), (N, N, N // 2 + 1), 1)
+    assert_allclose(v.real.std(), 0.5 ** 0.5, rtol=2e-2)
+    assert_allclose(v.imag.std(), 0.5 ** 0.5, rtol=2e-2)
+
+
+def test_gadget_subbox_is_slice():
+    # reference test_whitenoise.py:14-23
+    N = 64
+    full = gen((N, N, N), (N, N, N // 2 + 1), 1)
+    piece = gen((N, N, N), (32, 4, 4), 1, start=(2, 2, 2))
+    assert_array_equal(piece, full[2:34, 2:6, 2:6])
+
+
+def test_gadget_ngenic_values():
+    # reference test_whitenoise.py:25-36 (Illustris seed)
+    N = 4
+    v = gen((N, N, N), (N, N, N // 2 + 1), 5463)
+    assert_allclose(v[0, 1, 0], (-0.04 - 0.03j), atol=0.02)
+    assert_allclose(v[1, 0, 0], (0.36 - 0.78j), atol=0.02)
+    assert_allclose(v[1, 1, 0], (-0.43 + 0.33j), atol=0.02)
+    assert_allclose(v[1, 1, 1], (-1.65 - 0.64j), atol=0.02)
+
+
+def test_gadget_hermitian():
+    # reference test_whitenoise.py:38-60
+    N = 4
+    v = gen((N, N, N), (N, N, N // 2 + 1), 5463)
+    h = np.fft.rfftn(np.fft.irfftn(v.copy()))
+    assert_array_equal(v[1, 1, 0], v[N - 1, N - 1, 0].conjugate())
+    assert_array_equal(v[1, 1, N // 2], v[N - 1, N - 1, N // 2].conjugate())
+    assert_allclose(h, v, rtol=1e-5, atol=1e-9)
+
+
+def test_gadget_full_matches_compressed():
+    # reference test_whitenoise.py:62-80
+    N = 8
+    full = gen((N, N, N), (N, N, N), 1)
+    half = gen((N, N, N), (N, N, N // 2 + 1), 1)
+    for i in range(N):
+        for j in range(N):
+            for k in range(N):
+                assert_allclose(full[i, j, k].conj(), full[-i, -j, -k])
+    c1 = np.fft.ifftn(full)
+    c2 = np.fft.irfftn(half)
+    assert_allclose(c1.imag, 0, atol=1e-9)
+    assert_allclose(c1.real, c2)
+
+
+def test_gadget_unitary():
+    N = 8
+    v = gen((N, N, N), (N, N, N // 2 + 1), 3, unitary=True)
+    ampl = np.abs(v)
+    # all modes except DC have |v| = 1
+    mask = np.ones(v.shape, dtype=bool)
+    mask[0, 0, 0] = False
+    assert_allclose(ampl[mask], 1.0)
+
+
+def test_gadget_2d():
+    N = 64
+    full = gen((N, N), (N, N // 2 + 1), 1)
+    assert_allclose(full.real.std(), 0.5 ** 0.5, rtol=1e-1)
+    piece = gen((N, N), (32, 4), 1, start=(2, 2))
+    assert_array_equal(piece, full[2:34, 2:6])
+
+
+def test_gadget_1d():
+    N = 4096
+    full = gen((N,), (N // 2 + 1,), 1)
+    assert_allclose(full.real.std(), 0.5 ** 0.5, rtol=1e-1)
+
+
+# --- native (counter-based) generator ---
+
+def test_native_std():
+    N = 32
+    v = gen((N, N, N), (N, N, N // 2 + 1), 1, compat='native')
+    assert_allclose(v.real.std(), 0.5 ** 0.5, rtol=2e-2)
+    assert_allclose(v.imag.std(), 0.5 ** 0.5, rtol=2e-2)
+
+
+def test_native_hermitian():
+    N = 8
+    v = gen((N, N, N), (N, N, N // 2 + 1), 7, compat='native')
+    h = np.fft.rfftn(np.fft.irfftn(v.copy()))
+    assert_allclose(h, v, rtol=1e-8, atol=1e-10)
+
+
+def test_native_full_matches_compressed():
+    N = 8
+    full = gen((N, N, N), (N, N, N), 7, compat='native')
+    half = gen((N, N, N), (N, N, N // 2 + 1), 7, compat='native')
+    assert_allclose(full[:, :, :N // 2 + 1], half, atol=1e-12)
+    c1 = np.fft.ifftn(full)
+    assert_allclose(c1.imag, 0, atol=1e-9)
+
+
+def test_native_resolution_invariance():
+    # low-k modes of a larger mesh reproduce the smaller mesh exactly
+    small = gen((8, 8, 8), (8, 8, 5), 42, compat='native')
+    big = gen((16, 16, 16), (16, 16, 9), 42, compat='native')
+    # compare non-nyquist low modes: indices -3..3 map between sizes
+    for ix in [-3, -2, -1, 0, 1, 2, 3]:
+        for iy in [-3, -2, -1, 0, 1, 2, 3]:
+            for iz in [0, 1, 2, 3]:
+                assert_allclose(small[ix % 8, iy % 8, iz],
+                                big[ix % 16, iy % 16, iz],
+                                atol=1e-12, err_msg=str((ix, iy, iz)))
+
+
+def test_native_unitary():
+    N = 8
+    v = gen((N, N, N), (N, N, N // 2 + 1), 3, unitary=True,
+            compat='native')
+    mask = np.ones(v.shape, dtype=bool)
+    mask[0, 0, 0] = False
+    assert_allclose(np.abs(v)[mask], 1.0)
+
+
+def test_native_seeds_differ():
+    N = 8
+    v1 = gen((N, N, N), (N, N, 5), 1, compat='native')
+    v2 = gen((N, N, N), (N, N, 5), 2, compat='native')
+    assert not np.allclose(v1, v2)
