@@ -1,0 +1,133 @@
+"""Distributed FFT: shard_map slab transforms with all_to_all
+transposes over ICI.
+
+This replaces the reference's pfft pencil FFT (external C+MPI library;
+consumed at pm.py:1393-1441).  Algorithm for a 3-d r2c on a slab
+decomposition over mesh axis 'x' (D devices):
+
+  local real block      (Nx/D, Ny, Nz)
+  rfft over (y, z)   -> (Nx/D, Ny, Zh)      local, XLA batched FFT
+  all_to_all over 'x'-> (Nx, Ny/D, Zh)      one fused ICI transpose
+  fft over x         -> (Nx, Ny/D, Zh)      local
+
+yielding the *transposed* complex layout (first axis full, second
+sharded) — the same trick as the reference's PFFT_TRANSPOSED_OUT
+(pm.py:1409-1411): the inverse transform undoes the transpose, so a
+round trip needs exactly two all_to_alls and never reorders back.
+
+The hermitian-compressed axis (z) stays device-local throughout, so
+no padding games with the odd Zh = Nz//2+1 are needed.
+
+2-d meshes use the same scheme minus the z FFT; 1-d transforms are
+single-device only (as in the reference, pm.py:1316-1317).
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+__all__ = ["r2c", "c2r"]
+
+
+def _is_c2c(dtype):
+    return jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def _r2c_sharded(pmesh, value, c2c, norm):
+    ndim = value.ndim
+    axis = pmesh.axis
+
+    # In 2-d the axis to be compressed is also the one the transpose
+    # must split, and Ny//2+1 is odd; run the transform c2c and slice
+    # the half spectrum afterwards (2-d is a test/demo path).
+    half_slice = None
+    if ndim == 2 and not c2c:
+        value = value.astype(jnp.complex128 if value.dtype ==
+                             jnp.float64 else jnp.complex64)
+        half_slice = value.shape[1] // 2 + 1
+        c2c = True
+
+    def local(r):
+        # FFT every axis except the sharded first one
+        if c2c:
+            c = jnp.fft.fftn(r, axes=tuple(range(1, ndim)))
+        else:
+            c = jnp.fft.rfftn(r, axes=tuple(range(1, ndim)))
+        # distributed transpose: scatter axis 1, gather axis 0
+        c = jax.lax.all_to_all(c, axis, split_axis=1, concat_axis=0,
+                               tiled=True)
+        c = jnp.fft.fft(c, axis=0)
+        return c * jnp.asarray(norm, dtype=c.real.dtype)
+
+    fn = shard_map(local, mesh=pmesh.mesh,
+                   in_specs=pmesh.real_spec(ndim),
+                   out_specs=pmesh.transposed_spec(ndim))
+    out = fn(value)
+    if half_slice is not None:
+        out = out[:, :half_slice]
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def _c2r_sharded(pmesh, value, Nmesh, real_dtype, norm):
+    ndim = value.ndim
+    axis = pmesh.axis
+    c2c = _is_c2c(real_dtype)
+
+    take_real = False
+    if ndim == 2 and not c2c:
+        # reconstruct the full spectrum from hermitian symmetry:
+        # full[i, N-j] = conj(value[(-i) % Nx, j])
+        Ny = Nmesh[1]
+        Yh = value.shape[1]
+        rows_rev = jnp.roll(value[::-1], 1, axis=0)
+        tail = jnp.conj(rows_rev[:, 1:Ny - Yh + 1][:, ::-1])
+        value = jnp.concatenate([value, tail], axis=1)
+        out_dtype = real_dtype
+        real_dtype = jnp.dtype(
+            jnp.complex128 if real_dtype == jnp.float64 else jnp.complex64)
+        c2c = True
+        take_real = True
+
+    def local(c):
+        c = jnp.fft.ifft(c, axis=0)
+        # inverse distributed transpose: scatter axis 0, gather axis 1
+        c = jax.lax.all_to_all(c, axis, split_axis=0, concat_axis=1,
+                               tiled=True)
+        if c2c:
+            r = jnp.fft.ifftn(c, axes=tuple(range(1, ndim)))
+            r = r.astype(real_dtype)
+        else:
+            r = jnp.fft.irfftn(c, axes=tuple(range(1, ndim)),
+                               s=tuple(Nmesh[1:]))
+            r = r.astype(real_dtype)
+        return r * jnp.asarray(norm, dtype=r.real.dtype)
+
+    fn = shard_map(local, mesh=pmesh.mesh,
+                   in_specs=pmesh.transposed_spec(ndim),
+                   out_specs=pmesh.real_spec(ndim))
+    out = fn(value)
+    if take_real:
+        out = out.real.astype(out_dtype)
+    return out
+
+
+def r2c(pmesh, value, norm):
+    """Forward transform of a slab-sharded global array; returns the
+    transposed-layout complex global array."""
+    if value.ndim < 2:
+        raise ValueError("distributed 1-d transforms are not supported; "
+                         "use a single-device ParticleMesh")
+    return _r2c_sharded(pmesh, value, _is_c2c(value.dtype), float(norm))
+
+
+def c2r(pmesh, value, Nmesh, real_dtype, norm):
+    """Backward transform; inverse of :func:`r2c` (unnormalized when
+    norm == prod(Nmesh), matching ops/fft.py conventions)."""
+    Nmesh = tuple(int(n) for n in Nmesh)
+    return _c2r_sharded(pmesh, value, Nmesh, jnp.dtype(real_dtype),
+                        float(norm))

@@ -139,6 +139,10 @@ class Field(object):
             if value.shape != tuple(shape):
                 value = jnp.broadcast_to(value, tuple(shape))
             value = value.astype(dtype)
+        sharding = pm._sharding_for(type(self))
+        if sharding is not None and not isinstance(
+                value, jax.core.Tracer):
+            value = jax.device_put(value, sharding)
         self.value = value
 
     # --- pytree protocol ---
@@ -863,6 +867,23 @@ class ParticleMesh(object):
 
     def __hash__(self):
         return hash(self._key())
+
+    def _sharding_for(self, field_type):
+        """NamedSharding of a field type over the process mesh; None
+        for single-device meshes."""
+        if self.procmesh is None or self.procmesh.size <= 1:
+            return None
+        if issubclass(field_type, RealField):
+            return self.procmesh.real_sharding(self.ndim)
+        if issubclass(field_type, TransposedComplexField):
+            if self.ndim == 2 and not self._is_c2c:
+                # the 2-d compressed axis (Ny//2+1, odd) cannot be
+                # sharded evenly; keep 2-d T fields in the slab layout
+                return self.procmesh.untransposed_sharding(self.ndim)
+            return self.procmesh.transposed_sharding(self.ndim)
+        if issubclass(field_type, UntransposedComplexField):
+            return self.procmesh.untransposed_sharding(self.ndim)
+        raise TypeError(field_type)
 
     # --- shapes ---
     def _shape_dtype(self, field_type):

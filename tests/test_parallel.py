@@ -1,0 +1,103 @@
+"""Sharded-path tests on the virtual 8-device CPU mesh.
+
+The reference runs its whole suite under mpirun -n {1,2,4}
+(.github/workflows/main.yaml:40-46) asserting same-answer-at-any-comm-
+size; here the same contract is same-answer-at-any-sharding: every
+sharded op must agree with the single-device path bit-for-bit (FFT)
+or to float tolerance.
+"""
+import numpy as np
+from numpy.testing import assert_allclose
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pmesh_tpu import ParticleMesh
+from pmesh_tpu.parallel.pmesh import ProcessMesh
+
+
+@pytest.fixture(scope='module')
+def pmesh8():
+    assert len(jax.devices()) >= 8
+    return ProcessMesh(jax.devices()[:8])
+
+
+def test_sharded_r2c_matches_single(pmesh8):
+    pm1 = ParticleMesh(BoxSize=8.0, Nmesh=[16, 16, 16])
+    pm8 = ParticleMesh(BoxSize=8.0, Nmesh=[16, 16, 16], procmesh=pmesh8)
+    rng = np.random.RandomState(42)
+    v = rng.uniform(size=(16, 16, 16))
+    c1 = pm1.create(type='real', value=v).r2c()
+    c8 = pm8.create(type='real', value=v).r2c()
+    assert_allclose(np.asarray(c8.value), np.asarray(c1.value),
+                    atol=1e-12)
+    # output is sharded in the transposed layout
+    assert c8.value.sharding.spec == pmesh8.transposed_spec(3)
+
+
+def test_sharded_roundtrip(pmesh8):
+    pm8 = ParticleMesh(BoxSize=8.0, Nmesh=[16, 16, 16], procmesh=pmesh8)
+    rng = np.random.RandomState(1)
+    v = rng.uniform(size=(16, 16, 16))
+    real = pm8.create(type='real', value=v)
+    real2 = real.r2c().c2r()
+    assert_allclose(np.asarray(real2.value), v, atol=1e-12)
+    assert real2.value.sharding.spec == pmesh8.real_spec(3)
+
+
+def test_sharded_2d(pmesh8):
+    pm1 = ParticleMesh(BoxSize=8.0, Nmesh=[16, 32])
+    pm8 = ParticleMesh(BoxSize=8.0, Nmesh=[16, 32], procmesh=pmesh8)
+    rng = np.random.RandomState(3)
+    v = rng.uniform(size=(16, 32))
+    c1 = pm1.create(type='real', value=v).r2c()
+    c8 = pm8.create(type='real', value=v).r2c()
+    assert_allclose(np.asarray(c8.value), np.asarray(c1.value),
+                    atol=1e-12)
+
+
+def test_sharded_c2c(pmesh8):
+    pm1 = ParticleMesh(BoxSize=8.0, Nmesh=[16, 16], dtype='complex128')
+    pm8 = ParticleMesh(BoxSize=8.0, Nmesh=[16, 16], dtype='complex128',
+                       procmesh=pmesh8)
+    rng = np.random.RandomState(4)
+    v = rng.uniform(size=(16, 16)) + 1j * rng.uniform(size=(16, 16))
+    c1 = pm1.create(type='real', value=v).r2c()
+    c8 = pm8.create(type='real', value=v).r2c()
+    assert_allclose(np.asarray(c8.value), np.asarray(c1.value),
+                    atol=1e-12)
+    r8 = c8.c2r()
+    assert_allclose(np.asarray(r8.value), v, atol=1e-12)
+
+
+def test_sharded_paint_matches_single(pmesh8):
+    # paint with globally sharded inputs: XLA partitions the scatter;
+    # result must equal the single-device paint
+    pm1 = ParticleMesh(BoxSize=16.0, Nmesh=[16, 16, 16])
+    pm8 = ParticleMesh(BoxSize=16.0, Nmesh=[16, 16, 16], procmesh=pmesh8)
+    rng = np.random.RandomState(7)
+    pos = rng.uniform(0, 16, size=(512, 3))
+    r1 = pm1.paint(pos)
+    r8 = pm8.paint(pos)
+    assert_allclose(np.asarray(r8.value), np.asarray(r1.value),
+                    atol=1e-12)
+
+
+def test_sharded_apply_and_pipeline(pmesh8):
+    # full force pipeline sharded vs single device
+    pm1 = ParticleMesh(BoxSize=16.0, Nmesh=[16, 16, 16])
+    pm8 = ParticleMesh(BoxSize=16.0, Nmesh=[16, 16, 16], procmesh=pmesh8)
+    rng = np.random.RandomState(9)
+    pos = rng.uniform(0, 16, size=(256, 3))
+
+    def force(pm):
+        rho = pm.paint(pos)
+        rhok = rho.r2c()
+
+        def pot(k, v):
+            return -v / k.normp(2, zeromode=1.0)
+
+        phi = rhok.apply(pot).c2r()
+        return np.asarray(phi.readout(pos))
+
+    assert_allclose(force(pm8), force(pm1), atol=1e-12)
