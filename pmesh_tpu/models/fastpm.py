@@ -1,0 +1,346 @@
+"""FastPM-style particle-mesh N-body solver.
+
+The flagship model: the modern-API N-body of the reference
+(examples/nbody.py: kick/drift factor classes 13-76, symplectic
+steppers symp1/2/3 84-152, force pipeline 199-218, LPT init 245-288)
+and the 2LPT initial conditions of nbody/genic.py:122-158 — rebuilt
+so the entire time loop is ONE jitted lax.scan over precomputed
+kick/drift coefficients, with the force pipeline
+(paint -> r2c -> transfer -> c2r -> readout xN) traced once and the
+whole state (Q, S, V) resident in HBM across steps.
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..pm import ParticleMesh, RealField
+from ..ops import transfer as tf
+from .cosmology import Cosmology, Planck15
+
+__all__ = ["Solver", "State", "lpt", "leapfrog_factors",
+           "FastPM", "Quinn", "TVE", "VTE", "Naive"]
+
+
+class State(object):
+    """Particle state: Lagrangian grid Q, displacement S, velocity V.
+    Registered as a pytree so it flows through jit/scan."""
+
+    def __init__(self, Q, S, V):
+        self.Q = Q
+        self.S = S
+        self.V = V
+
+    @property
+    def X(self):
+        return self.Q + self.S
+
+jax.tree_util.register_pytree_node(
+    State,
+    lambda s: ((s.Q, s.S, s.V), None),
+    lambda aux, children: State(*children))
+
+
+# --- kick / drift factor families (examples/nbody.py:13-76) ---------------
+
+def _quad(func, lo, hi, n=256):
+    """Fixed-order trapezoid quadrature on the host (replaces
+    scipy.integrate.quad in the reference factor classes)."""
+    x = np.linspace(lo, hi, n)
+    return float(np.trapezoid([func(xi) for xi in x], x))
+
+
+class FastPM:
+    """Growth-factor-exact kick and drift (the FastPM scheme)."""
+    def __init__(self, pt):
+        self.pt = pt
+
+    def K(self, ai, af, ar):
+        pt = self.pt
+        return 1 / (ar ** 2 * float(pt.E(ar))) * (
+            float(pt.Gf(af)) - float(pt.Gf(ai))) / float(pt.gf(ar))
+
+    def D(self, ai, af, ar):
+        pt = self.pt
+        return 1 / (ar ** 3 * float(pt.E(ar))) * (
+            float(pt.Gp(af)) - float(pt.Gp(ai))) / float(pt.gp(ar))
+
+
+class Quinn:
+    """Standard symplectic quadrature factors (Quinn et al)."""
+    def __init__(self, pt):
+        self.pt = pt
+
+    def K(self, ai, af, ar):
+        return _quad(lambda a: 1.0 / (a * a * float(self.pt.E(a))), ai, af)
+
+    def D(self, ai, af, ar):
+        return _quad(lambda a: 1.0 / (a ** 3 * float(self.pt.E(a))), ai, af)
+
+
+class TVE:
+    """H = T + (E + V) split: drift has no explicit time dependence."""
+    def __init__(self, pt):
+        self.pt = pt
+
+    def K(self, ai, af, ar):
+        return _quad(lambda a: 1.0 / (a * a * float(self.pt.E(a))), ai, af)
+
+    def D(self, ai, af, ar):
+        return ar ** -2 * _quad(
+            lambda a: 1.0 / (a * float(self.pt.E(a))), ai, af)
+
+
+class VTE:
+    """H = (T + E) + V split: kick has no explicit time dependence."""
+    def __init__(self, pt):
+        self.pt = pt
+
+    def K(self, ai, af, ar):
+        return ar ** -1 * _quad(
+            lambda a: 1.0 / (a * float(self.pt.E(a))), ai, af)
+
+    def D(self, ai, af, ar):
+        return _quad(lambda a: 1.0 / (a ** 3 * float(self.pt.E(a))), ai, af)
+
+
+class Naive:
+    def __init__(self, pt):
+        self.pt = pt
+
+    def K(self, ai, af, ar):
+        return 1.0 / (ar * ar * float(self.pt.E(ar))) * (af - ai)
+
+    def D(self, ai, af, ar):
+        return 1.0 / (ar ** 3 * float(self.pt.E(ar))) * (af - ai)
+
+
+_FACTORS = {'fastpm': FastPM, 'quinn': Quinn, 'tve': TVE, 'vte': VTE,
+            'naive': Naive}
+
+
+def leapfrog_factors(time_steps, factors, scheme='symp2'):
+    """Precompute the per-step kick/drift coefficient table on the
+    host, so the device loop is a pure lax.scan.
+
+    Returns (K1, D1, K2) arrays for symp2 (the KDK scheme of
+    examples/nbody.py:90-105); symp1 returns (K1, D1, 0)."""
+    Ks1, Ds1, Ks2 = [], [], []
+    for ai, af in zip(time_steps[:-1], time_steps[1:]):
+        if scheme == 'symp2':
+            ac = (ai * af) ** 0.5
+            Ks1.append(factors.K(ai, ac, ai))
+            Ds1.append(factors.D(ai, af, ac))
+            Ks2.append(factors.K(ac, af, af))
+        elif scheme == 'symp1':
+            Ks1.append(factors.K(ai, af, ai))
+            Ds1.append(factors.D(ai, af, af))
+            Ks2.append(0.0)
+        else:
+            raise ValueError("scheme must be symp1 or symp2")
+    return (jnp.asarray(Ks1), jnp.asarray(Ds1), jnp.asarray(Ks2))
+
+
+class Solver(object):
+    """End-to-end FastPM solver.
+
+    Parameters
+    ----------
+    pm : ParticleMesh
+        the IC-resolution mesh (particles: one per mesh point).
+    cosmology : Cosmology
+    B : int
+        force-mesh boost factor (reference uses pm.Nmesh * boost,
+        examples/nbody.py:293).
+    """
+
+    def __init__(self, pm, cosmology=None, B=1, force_resampler='cic'):
+        self.pm = pm
+        self.cosmology = cosmology if cosmology is not None else Planck15
+        self.fpm = pm.reshape(Nmesh=pm.Nmesh * B) if B != 1 else pm
+        if force_resampler is not None:
+            self.fpm = ParticleMesh(
+                Nmesh=self.fpm.Nmesh, BoxSize=self.fpm.BoxSize,
+                dtype=self.fpm.dtype, resampler=force_resampler,
+                procmesh=self.fpm.procmesh)
+
+    # --- initial conditions ---
+    def linear_field(self, power, seed, unitary=False, compat='gadget'):
+        """The linear density contrast in fourier space at z=0
+        (examples/nbody.py:258-264)."""
+        pm = self.pm
+        gauss = pm.generate_whitenoise(seed, unitary=unitary,
+                                       type='complex', compat=compat)
+
+        def convolve(k, v):
+            kmag = k.normp(2) ** 0.5
+            ampl = (power(kmag) / k.BoxSize.prod()) ** 0.5
+            return v * ampl
+        return gauss.apply(convolve)
+
+    def lpt(self, dlinear, a0, order=2, shift=0.0):
+        """1/2LPT initial displacements and velocities
+        (examples/nbody.py:266-288; nbody/genic.py:122-158).
+
+        Returns a State scaled to time a0.
+        """
+        pm = self.pm
+        pt = self.cosmology
+        Q = pm.generate_uniform_particle_grid(shift=shift)
+
+        DX1 = jnp.stack([
+            dlinear.apply(tf.dx1_transfer(d)).c2r().readout(Q)
+            for d in range(pm.ndim)], axis=-1)
+
+        D1 = float(pt.D1(a0))
+        f1 = float(pt.f1(a0))
+        E0 = float(pt.E(a0))
+        S = DX1 * D1
+        V = DX1 * (D1 * f1 * a0 ** 2 * E0)
+
+        if order >= 2 and pm.ndim == 3:
+            # 2LPT source: sum_{a<b} phi_aa phi_bb - phi_ab^2 with
+            # phi_ab = k_a k_b / k^2 dlinear (genic.py:136-158)
+            def phi_ab(a, b):
+                def filt(k, v):
+                    k2 = k.normp(2, zeromode=1.0)
+                    return v * k[a] * k[b] / k2
+                return dlinear.apply(filt).c2r().value
+
+            src = 0.0
+            for a in range(3):
+                for b in range(a + 1, 3):
+                    src = src + (phi_ab(a, a) * phi_ab(b, b)
+                                 - phi_ab(a, b) ** 2)
+            source2 = pm.create(type=RealField, value=src).r2c()
+            DX2 = jnp.stack([
+                source2.apply(tf.dx1_transfer(d)).c2r().readout(Q)
+                for d in range(3)], axis=-1)
+            D2 = float(pt.D2(a0))
+            f2 = float(pt.f2(a0))
+            # D2 carries the -3/7 sign; DX2 kernel is +ik/k2 of source
+            S = S + DX2 * D2
+            V = V + DX2 * (D2 * f2 * a0 ** 2 * E0)
+
+        return State(Q, S, V)
+
+    # --- force ---
+    def force(self, X, factor=None):
+        """PM gravity: paint -> r2c -> per-axis force kernel -> c2r ->
+        readout (examples/nbody.py:199-218).  Jittable.
+
+        The three directional force meshes are stacked and read out in
+        ONE batched gather pass so the (N,)-sized stencil index
+        buffers exist once, and an optimization barrier between the
+        paint and readout phases stops XLA from keeping the paint's
+        index buffers alive across the FFT (2x liveness on 512^3
+        meshes otherwise).
+        """
+        from ..ops import paint as _paint_ops
+        fpm = self.fpm
+        N = X.shape[0]
+        layout = fpm.decompose(X)
+        rho = fpm.paint(X, layout=layout)
+        rho = rho * (float(fpm.Nmesh.prod()) / N)
+        rhok = rho.r2c()
+        if factor is None:
+            factor = 1.5 * self.cosmology.Om0
+        meshes = tuple(
+            rhok.apply(tf.force_transfer(d)).c2r().value
+            for d in range(fpm.ndim))
+        Xb = jax.lax.optimization_barrier(X)
+        a = fpm.affine
+        vals = _paint_ops.readout(meshes, Xb,
+                                  window=fpm.resampler.window,
+                                  scale=a.scale, translate=a.translate,
+                                  period=a.period)
+        return jnp.stack(vals, axis=-1) * factor
+
+    def force_staged(self, X, factor=None):
+        """The same PM force as :meth:`force`, executed as separate
+        jit stages (paint+fft / per-direction transfer+readout) so the
+        peak HBM of any one program stays low.  Use when a single-chip
+        mesh is near HBM capacity (e.g. 512^3 on v5e); inside a jitted
+        scan use :meth:`force` instead."""
+        from ..ops import paint as _paint_ops
+        fpm = self.fpm
+        N = X.shape[0]
+        if factor is None:
+            factor = 1.5 * self.cosmology.Om0
+
+        if not hasattr(self, '_staged_fns'):
+            scalefac = None
+
+            @jax.jit
+            def stage_paint(X):
+                rho = fpm.paint(X)
+                rho = rho * (float(fpm.Nmesh.prod()) / N)
+                return rho.r2c().value
+
+            def make_dir(d):
+                @jax.jit
+                def stage_dir(rhok_value, X):
+                    rhok = fpm.create(type='transposedcomplex',
+                                      value=rhok_value)
+                    mesh = rhok.apply(tf.force_transfer(d)).c2r().value
+                    a = fpm.affine
+                    return _paint_ops.readout(
+                        mesh, X, window=fpm.resampler.window,
+                        scale=a.scale, translate=a.translate,
+                        period=a.period)
+                return stage_dir
+
+            self._staged_fns = (stage_paint,
+                                [make_dir(d) for d in range(fpm.ndim)])
+
+        stage_paint, stage_dirs = self._staged_fns
+        rhok_value = stage_paint(X)
+        cols = [fn(rhok_value, X) for fn in stage_dirs]
+        return jnp.stack(cols, axis=-1) * factor
+
+    # --- time integration ---
+    def nbody(self, state, time_steps, factors='fastpm', scheme='symp2',
+              monitor=None):
+        """Run the KDK loop.  With monitor=None the whole loop is one
+        jitted lax.scan; a monitor callback forces per-step python
+        stepping (for snapshots/logging)."""
+        fac = _FACTORS[factors](self.cosmology) \
+            if isinstance(factors, str) else factors
+        K1, D1s, K2 = leapfrog_factors(time_steps, fac, scheme)
+
+        force = self.force
+
+        def step(carry, coeffs):
+            S, V, F = carry
+            k1, d1, k2 = coeffs
+            V = V + F * k1
+            S = S + V * d1
+            F = force(state.Q + S)
+            V = V + F * k2
+            return (S, V, F), None
+
+        if monitor is None:
+            @jax.jit
+            def run(S, V):
+                F = force(state.Q + S)
+                (S, V, F), _ = jax.lax.scan(
+                    step, (S, V, F), (K1, D1s, K2))
+                return S, V
+            S, V = run(state.S, state.V)
+            return State(state.Q, S, V)
+
+        F = force(state.X)
+        S, V = state.S, state.V
+        for i, (ai, af) in enumerate(zip(time_steps[:-1],
+                                         time_steps[1:])):
+            (S, V, F), _ = step((S, V, F),
+                                (K1[i], D1s[i], K2[i]))
+            monitor(af, State(state.Q, S, V))
+        return State(state.Q, S, V)
+
+
+def lpt(pm, dlinear, a0, cosmology=None, order=2, shift=0.0):
+    """Convenience: LPT state without constructing a Solver."""
+    return Solver(pm, cosmology).lpt(dlinear, a0, order=order,
+                                     shift=shift)

@@ -79,11 +79,16 @@ def _window_params(geom):
     return s_float, isupport, left, shift, vfactor
 
 
-def _fill_k(geom, pos, hsml):
-    """Compute per-axis integer base indices and kernel weight rows.
+def _fill_base(geom, pos, hsml):
+    """Per-axis integer base indices and fractional offsets.
 
-    Returns (ipos, kvals): ipos int32 (N, ndim); kvals list of ndim
-    arrays (N, S).  reference: _fill_k, _window_imp.c:50-83.
+    Returns (ipos, dx, vfac, isup, S): lists of 1-d (N,) arrays for
+    ipos/dx; vfac/isup per-particle only for hsml scaling.
+    reference: _fill_k, _window_imp.c:50-83.
+
+    Everything is kept 1-d on purpose: TPU tiles pad the trailing two
+    dimensions to (sublane, 128), so an (N, S) temporary with S of
+    2..12 would waste up to 64x HBM.  Flat (N,) vectors tile densely.
     """
     w = geom.window
     dtype = pos.dtype
@@ -91,153 +96,246 @@ def _fill_k(geom, pos, hsml):
 
     if hsml is not None:
         # per-particle support scaling (reference _window_generics.h:8:
-        # support = painter->support * hsml).  The static stencil size is
-        # sized for the max hsml; rows beyond the particle's own support
-        # are masked to zero.
+        # support = painter->support * hsml).  The static stencil size
+        # is sized for the max hsml; offsets beyond a particle's own
+        # support are masked to zero.
         hsml = jnp.asarray(hsml, dtype=dtype)
         sp = s_float * hsml                                # (N,)
-        isup = jnp.ceil(sp).astype(jnp.int32)
-        isup = jnp.maximum(isup, 1)
+        isup = jnp.maximum(jnp.ceil(sp).astype(jnp.int32), 1)
         left_p = (isup - 1) // 2
         shift_p = sp / 2.0 - isup // 2
-        vfac_p = w.nativesupport / sp
+        vfac = w.nativesupport / sp                        # (N,)
         S = geom.hsml_support
     else:
+        isup = None
+        vfac = vfactor
         S = isupport
 
-    scale = jnp.asarray(geom.scale, dtype=dtype)
-    translate = jnp.asarray(geom.translate, dtype=dtype)
-    gpos = pos * scale + translate                         # (N, ndim)
-
-    if hsml is not None:
-        ipos = (jnp.floor(gpos + shift_p[:, None])
-                - left_p[:, None]).astype(jnp.int32)
-        dx = gpos - ipos
-        offs = jnp.arange(S, dtype=dtype)
-        x = (dx[:, :, None] - offs) * vfac_p[:, None, None]   # (N, ndim, S)
-        rowmask = (offs < isup[:, None, None])
-        vfac_b = vfac_p[:, None]                              # (N, 1)
-    else:
-        ipos = jnp.floor(gpos + shift).astype(jnp.int32) - left
-        dx = gpos - ipos
-        offs = jnp.arange(S, dtype=dtype)
-        x = (dx[:, :, None] - offs) * vfactor                 # (N, ndim, S)
-        rowmask = None
-        vfac_b = vfactor
-
-    order = np.zeros(geom.ndim, dtype=int)
-    if geom.diffdir is not None:
-        order[geom.diffdir] = 1
-
-    kvals = []
+    ipos, dxs = [], []
     for d in range(geom.ndim):
-        xd = x[:, d, :]
-        if order[d] == 0:
-            kd = w.kernel(xd) * vfac_b if hsml is not None \
-                else w.kernel(xd) * vfactor
+        gd = pos[:, d] * dtype.type(geom.scale[d]) \
+            + dtype.type(geom.translate[d])                # (N,)
+        if hsml is not None:
+            ip = (jnp.floor(gd + shift_p) - left_p).astype(jnp.int32)
         else:
-            kd = w.diff(xd) * geom.scale[d] * (
-                vfac_b * vfac_b if hsml is not None else vfactor * vfactor)
-        if rowmask is not None:
-            kd = jnp.where(rowmask[:, d, :], kd, 0.0)
-        kvals.append(kd.astype(dtype))
+            ip = jnp.floor(gd + shift).astype(jnp.int32) - left
+        ipos.append(ip)
+        dxs.append((gd - ip).astype(dtype))
+    return ipos, dxs, vfac, isup, S
+
+
+def _kweight(geom, dx_d, d, i, vfac, isup):
+    """Kernel weight of stencil offset i along axis d, computed
+    inline (fuses into the scatter/gather update computation)."""
+    w = geom.window
+    x = (dx_d - i) * vfac
+    if geom.diffdir == d:
+        ki = w.diff(x) * (geom.scale[d] * vfac * vfac)
+    else:
+        ki = w.kernel(x) * vfac
+    if isup is not None:
+        ki = jnp.where(i < isup, ki, 0.0)
+    return ki.astype(dx_d.dtype)
+
+
+def _fill_k(geom, pos, hsml):
+    """Materialized per-axis weight lists (used by the big-stencil
+    fori path)."""
+    ipos, dxs, vfac, isup, S = _fill_base(geom, pos, hsml)
+    kvals = [[_kweight(geom, dxs[d], d, i, vfac, isup)
+              for i in range(S)] for d in range(geom.ndim)]
     return ipos, kvals, S
 
 
-def _axis_indices(geom, ipos, S):
-    """Wrapped per-axis target indices (N, S) plus a validity mask for
-    non-periodic axes (reference _window_generics.h:44-55)."""
-    idx = []
-    offs = jnp.arange(S, dtype=jnp.int32)
-    for d in range(geom.ndim):
-        t = ipos[:, d:d + 1] + offs                      # (N, S)
-        if geom.period[d] > 0:
-            t = jnp.remainder(t, geom.period[d])
-        ok = (t >= 0) & (t < geom.shape[d])
-        idx.append((t, ok))
-    return idx
+def _wrapped_axis(geom, ipos_d, off, d):
+    """Wrapped target index along axis d for stencil offset `off`,
+    plus validity (reference _window_generics.h:44-55)."""
+    t = ipos_d + off
+    if geom.period[d] > 0:
+        t = jnp.remainder(t, geom.period[d])
+    ok = (t >= 0) & (t < geom.shape[d])
+    return t, ok
+
+
+def _offset_terms(geom, ipos, dxs, vfac, isup, offsets, base_w):
+    """Flat mesh index and weight of one stencil offset (all 1-d)."""
+    ndim = geom.ndim
+    shape = geom.shape
+    idx = None
+    w = base_w
+    ok = None
+    for d in range(ndim):
+        t, okd = _wrapped_axis(geom, ipos[d], offsets[d], d)
+        idx = t if idx is None else idx * shape[d] + t
+        ok = okd if ok is None else (ok & okd)
+        w = w * _kweight(geom, dxs[d], d, offsets[d], vfac, isup)
+    idx = jnp.where(ok, idx, -1)   # 'drop'/'fill' handles these
+    return idx, w
+
+
+def _all_offsets(S, ndim):
+    import itertools
+    return list(itertools.product(range(S), repeat=ndim))
+
+
+# above this particle count, stencil offsets are strictly sequenced
+# with optimization barriers so XLA cannot hoist every offset's index
+# buffer to the front of the schedule (HBM liveness control)
+_SEQUENTIAL_N = 1 << 25
+
+
+def _tie(seq_mode, *arrays):
+    """Barrier-tie arrays to the running accumulator when sequencing
+    is on, so each stencil offset's temporaries are computed after the
+    previous offset committed (keeps ~one (N,) index buffer live)."""
+    if not seq_mode:
+        return arrays
+    return jax.lax.optimization_barrier(arrays)
 
 
 def _paint_impl(mesh, pos, mass, hsml, geom):
     if pos.shape[0] == 0:
         return mesh
-    ipos, kvals, S = _fill_k(geom, pos, hsml)
+    ipos, dxs, vfac, isup, S = _fill_base(geom, pos, hsml)
     N = pos.shape[0]
     ndim = geom.ndim
-    shape = geom.shape
     mass = jnp.broadcast_to(jnp.asarray(mass, dtype=mesh.dtype), (N,))
-
-    axes = _axis_indices(geom, ipos, S)
-
-    # Build flat indices/weights as an outer product over the stencil.
-    # For small stencils (<= 64 points) one big scatter; otherwise loop
-    # over the slowest axis to bound temporary memory at N * S^(ndim-1).
-    def flat_for(first_off=None):
-        flat = jnp.zeros((N, 1), dtype=jnp.int32)
-        wgt = mass.reshape(N, 1)
-        invalid = jnp.zeros((N, 1), dtype=bool)
-        for d in range(ndim):
-            t, ok = axes[d]
-            kd = kvals[d]
-            if d == 0 and first_off is not None:
-                t = t[:, first_off:first_off + 1]
-                ok = ok[:, first_off:first_off + 1]
-                kd = kd[:, first_off:first_off + 1]
-            flat = (flat[:, :, None] * shape[d]
-                    + t[:, None, :]).reshape(N, -1)
-            wgt = (wgt[:, :, None] * kd[:, None, :]).reshape(N, -1)
-            invalid = (invalid[:, :, None] | (~ok)[:, None, :]).reshape(N, -1)
-        flat = jnp.where(invalid, -1, flat)  # 'drop' mode discards these
-        return flat, wgt
-
     flat_mesh = mesh.reshape(-1)
-    if S ** ndim <= 64:
-        flat, wgt = flat_for()
-        flat_mesh = flat_mesh.at[flat.reshape(-1)].add(
-            wgt.reshape(-1).astype(mesh.dtype), mode='drop')
+
+    npoints = S ** ndim
+    if npoints <= 64:
+        seq = N >= _SEQUENTIAL_N
+        for o in _all_offsets(S, ndim):
+            if seq:
+                # recompute the stencil base from the (barrier-tied)
+                # positions each offset: cheaper than keeping 6 (N,)
+                # base arrays live across the whole scatter chain, and
+                # the fresh tie stops XLA from hoisting every offset's
+                # index buffer to the front of the schedule
+                flat_mesh, pos_t = jax.lax.optimization_barrier(
+                    (flat_mesh, pos))
+                ipos, dxs, vfac, isup, _ = _fill_base(geom, pos_t, hsml)
+            idx, wgt = _offset_terms(geom, ipos, dxs, vfac, isup, o,
+                                     mass)
+            flat_mesh = flat_mesh.at[idx].add(
+                wgt.astype(mesh.dtype), mode='drop')
     else:
-        for i0 in range(S):
-            flat, wgt = flat_for(i0)
-            flat_mesh = flat_mesh.at[flat.reshape(-1)].add(
-                wgt.reshape(-1).astype(mesh.dtype), mode='drop')
-    return flat_mesh.reshape(shape)
+        ipos, kvals, S = _fill_k(geom, pos, hsml)
+        # big stencils (lanczos/acg/wavelets): fori_loop over offsets,
+        # one scatter per stencil point
+        kstack = [jnp.stack(kd) for kd in kvals]      # ndim x (S, N)
+
+        def body(o, fm):
+            idx = None
+            w = mass
+            ok = None
+            rem = o
+            for d in range(ndim - 1, -1, -1):
+                od = rem % S
+                rem = rem // S
+                t, okd = _wrapped_axis(geom, ipos[d], od, d)
+                # idx built most-significant-first; accumulate with
+                # the positional weight of axis d
+                stride = int(np.prod(geom.shape[d + 1:], dtype=np.int64))
+                term = t * stride
+                idx = term if idx is None else idx + term
+                ok = okd if ok is None else (ok & okd)
+                w = w * jnp.take(kstack[d], od, axis=0)
+            idx = jnp.where(ok, idx, -1)
+            return fm.at[idx].add(w.astype(fm.dtype), mode='drop')
+
+        flat_mesh = jax.lax.fori_loop(0, npoints, body, flat_mesh)
+    out = flat_mesh.reshape(geom.shape)
+    if N >= _SEQUENTIAL_N:
+        # pin the nd layout at the op boundary: without this, XLA
+        # propagates the scatter's linear layout into a downstream FFT
+        # and materializes a 32x lane-padded relayout copy (16 GB for
+        # a 512^3 mesh)
+        out = jax.lax.optimization_barrier(out)
+    return out
 
 
 def _readout_impl(mesh, pos, hsml, geom):
+    """Gather mesh values at particle stencils.
+
+    ``mesh`` may carry a leading batch axis (M, *shape): all M meshes
+    are gathered with the SAME index/weight computation — that is the
+    memory-critical fast path of the PM force step, where the three
+    directional force meshes are read out at once instead of tripling
+    the liveness of the (N,)-sized index buffers.
+    """
+    istuple = isinstance(mesh, (list, tuple))
     if pos.shape[0] == 0:
+        if istuple:
+            return tuple(jnp.zeros((0,), dtype=pos.dtype) for _ in mesh)
+        if mesh.ndim == geom.ndim + 1:
+            return jnp.zeros((mesh.shape[0], 0), dtype=pos.dtype)
         return jnp.zeros((0,), dtype=pos.dtype)
-    ipos, kvals, S = _fill_k(geom, pos, hsml)
+    ipos, dxs, vfac, isup, S = _fill_base(geom, pos, hsml)
     N = pos.shape[0]
     ndim = geom.ndim
-    shape = geom.shape
-    axes = _axis_indices(geom, ipos, S)
-    flat_mesh = mesh.reshape(-1)
 
-    def gather_for(first_off=None):
-        flat = jnp.zeros((N, 1), dtype=jnp.int32)
-        wgt = jnp.ones((N, 1), dtype=pos.dtype)
-        invalid = jnp.zeros((N, 1), dtype=bool)
-        for d in range(ndim):
-            t, ok = axes[d]
-            kd = kvals[d]
-            if d == 0 and first_off is not None:
-                t = t[:, first_off:first_off + 1]
-                ok = ok[:, first_off:first_off + 1]
-                kd = kd[:, first_off:first_off + 1]
-            flat = (flat[:, :, None] * shape[d]
-                    + t[:, None, :]).reshape(N, -1)
-            wgt = (wgt[:, :, None] * kd[:, None, :]).reshape(N, -1)
-            invalid = (invalid[:, :, None] | (~ok)[:, None, :]).reshape(N, -1)
-        vals = flat_mesh[jnp.where(invalid, 0, flat)]
-        vals = jnp.where(invalid, 0, vals)
-        return jnp.sum(vals * wgt, axis=1)
+    if istuple:
+        batched = True
+        flat_meshes = [m.reshape(-1) for m in mesh]
+    elif mesh.ndim == ndim + 1:
+        batched = True
+        flat_meshes = [mesh[m].reshape(-1) for m in range(mesh.shape[0])]
+    else:
+        batched = False
+        flat_meshes = [mesh.reshape(-1)]
+    ones = jnp.ones((N,), dtype=pos.dtype)
 
-    if S ** ndim <= 64:
-        return gather_for()
-    out = 0
-    for i0 in range(S):
-        out = out + gather_for(i0)
-    return out
+    npoints = S ** ndim
+    if npoints <= 64:
+        seq = N >= _SEQUENTIAL_N
+        outs = [jnp.zeros((N,), dtype=pos.dtype) for _ in flat_meshes]
+        for o in _all_offsets(S, ndim):
+            if seq:
+                outs[0], pos_t = jax.lax.optimization_barrier(
+                    (outs[0], pos))
+                ipos, dxs, vfac, isup, _ = _fill_base(geom, pos_t, hsml)
+            idx, w = _offset_terms(geom, ipos, dxs, vfac, isup, o, ones)
+            for m, fm in enumerate(flat_meshes):
+                vals = fm.at[idx].get(mode='fill', fill_value=0)
+                outs[m] = outs[m] + vals * w
+        if istuple:
+            return tuple(outs)
+        if batched:
+            return jnp.stack(outs)
+        return outs[0]
+    else:
+        ipos, kvals, S = _fill_k(geom, pos, hsml)
+        flat_mesh = flat_meshes[0]
+        kstack = [jnp.stack(kd) for kd in kvals]
+
+        def body(o, acc):
+            idx = None
+            w = ones
+            ok = None
+            rem = o
+            for d in range(ndim - 1, -1, -1):
+                od = rem % S
+                rem = rem // S
+                t, okd = _wrapped_axis(geom, ipos[d], od, d)
+                stride = int(np.prod(geom.shape[d + 1:], dtype=np.int64))
+                term = t * stride
+                idx = term if idx is None else idx + term
+                ok = okd if ok is None else (ok & okd)
+                w = w * jnp.take(kstack[d], od, axis=0)
+            idx = jnp.where(ok, idx, -1)
+            new = [a + fm.at[idx].get(mode='fill', fill_value=0) * w
+                   for a, fm in zip(acc, flat_meshes)]
+            return tuple(new)
+
+        init = tuple(jnp.zeros((N,), dtype=pos.dtype)
+                     for _ in flat_meshes)
+        outs = jax.lax.fori_loop(0, npoints, body, init)
+        if istuple:
+            return tuple(outs)
+        if batched:
+            return jnp.stack(outs)
+        return outs[0]
 
 
 def _hsml_support(window, hsml, hsml_max):
@@ -301,15 +399,32 @@ def _readout_fwd(mesh, pos, hsml, geom):
 
 def _readout_bwd(geom, res, v):
     mesh, pos, hsml = res
+    istuple = isinstance(mesh, (list, tuple))
+    batched = istuple or (mesh.ndim == geom.ndim + 1)
     # d_mesh = paint of v (pm.py:835-843)
-    zeros = jnp.zeros(geom.shape, dtype=mesh.dtype)
-    d_mesh = _paint_impl(zeros, pos, v, hsml, geom)
+    if istuple:
+        zeros = jnp.zeros(geom.shape, dtype=mesh[0].dtype)
+        d_mesh = tuple(_paint_impl(zeros, pos, v[m], hsml, geom)
+                       for m in range(len(mesh)))
+    elif batched:
+        zeros = jnp.zeros(geom.shape, dtype=mesh.dtype)
+        d_mesh = jnp.stack([
+            _paint_impl(zeros, pos, v[m], hsml, geom)
+            for m in range(mesh.shape[0])])
+    else:
+        zeros = jnp.zeros(geom.shape, dtype=mesh.dtype)
+        d_mesh = _paint_impl(zeros, pos, v, hsml, geom)
     # d_pos[:, d] = v * readout(mesh, pos, gradient=d) (pm.py:821-833)
     if geom.diffdir is None:
         cols = []
         for d in range(geom.ndim):
             g = _readout_impl(mesh, pos, hsml, geom.with_diffdir(d))
-            cols.append(g * v)
+            if istuple:
+                cols.append(sum(gm * vm for gm, vm in zip(g, v)))
+            elif batched:
+                cols.append(jnp.sum(g * v, axis=0))
+            else:
+                cols.append(g * v)
         d_pos = jnp.stack(cols, axis=-1).astype(pos.dtype)
     else:
         d_pos = jnp.zeros_like(pos)
@@ -343,9 +458,17 @@ def readout(mesh, pos, window='cic', scale=1.0, translate=0.0,
 
     Parameters mirror ResampleWindow.readout (pmesh/window.py:165-221).
     """
-    mesh = jnp.asarray(mesh)
     pos = jnp.asarray(pos)
     win = find_window(window)
-    geom = PaintGeometry(win, mesh.shape, scale, translate, period,
+    ndim = pos.shape[-1]
+    # a tuple of meshes (or a leading batch axis) gathers M meshes
+    # with one shared index computation (see _readout_impl)
+    if isinstance(mesh, (list, tuple)):
+        mesh = tuple(jnp.asarray(m) for m in mesh)
+        shape = mesh[0].shape
+    else:
+        mesh = jnp.asarray(mesh)
+        shape = mesh.shape[1:] if mesh.ndim == ndim + 1 else mesh.shape
+    geom = PaintGeometry(win, shape, scale, translate, period,
                          diffdir, _hsml_support(win, hsml, hsml_max))
     return _readout_vjpable(mesh, pos, hsml, geom)

@@ -919,29 +919,32 @@ class ParticleMesh(object):
         iscomplex = issubclass(field_type, BaseComplexField)
         key = (iscomplex, )
         if key not in self._coords_cache:
+            # cache host (numpy) arrays: coordinate arrays are created
+            # both in and out of jit traces, and cached tracers leak.
             x, i = [], []
             shape, _ = self._shape_dtype(
                 TransposedComplexField if iscomplex else RealField)
-            fdtype = jnp.float64 if self.dtype.itemsize >= 8 else jnp.float32
+            fdtype = 'f8' if self.dtype.itemsize >= 8 else 'f4'
             for d in range(self.ndim):
                 n = shape[d]
                 t = [1] * self.ndim
                 t[d] = n
-                ind = jnp.arange(n, dtype=jnp.int64 if jax.config.x64_enabled
-                                 else jnp.int32)
-                ri = jnp.arange(n).astype(fdtype)
-                ri = jnp.where(ri >= self.Nmesh[d] // 2,
-                               ri - self.Nmesh[d], ri)
+                ind = np.arange(n)
+                ri = np.arange(n).astype(fdtype)
+                ri[ri >= self.Nmesh[d] // 2] -= self.Nmesh[d]
                 if iscomplex:
                     wi = ri * (2 * np.pi / self.Nmesh[d])
-                    xi = wi * self.Nmesh[d] / self.BoxSize[d]
+                    xi = (wi * self.Nmesh[d] / self.BoxSize[d]).astype(fdtype)
                 else:
-                    xi = ri * (self.BoxSize[d] / self.Nmesh[d])
+                    xi = (ri * (self.BoxSize[d] / self.Nmesh[d])).astype(
+                        fdtype)
                 x.append(xi.reshape(t))
                 i.append(ind.reshape(t))
             self._coords_cache[key] = (x, i)
         x, i = self._coords_cache[key]
-        return list(i) if return_indices else list(x)
+        if return_indices:
+            return [jnp.asarray(ii) for ii in i]
+        return [jnp.asarray(xx) for xx in x]
 
     def _apply_coords(self, field_type, kind):
         iscomplex = issubclass(field_type, BaseComplexField)

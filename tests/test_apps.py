@@ -1,0 +1,83 @@
+"""Application smoke tests: Klein-Gordon, gravpm driver, LIC
+(mirroring tests/test_lic.py + the app-level coverage the reference
+exercises manually via examples/)."""
+import numpy as np
+from numpy.testing import assert_allclose
+import jax.numpy as jnp
+
+from pmesh_tpu import ParticleMesh
+from pmesh_tpu.models import kleingordon
+from pmesh_tpu.models.gravpm import run_sim
+from pmesh_tpu.lic import lic
+
+
+def test_kleingordon_scan_matches_python_loop():
+    pm = ParticleMesh(BoxSize=32.0, Nmesh=[32, 32])
+    u, du = kleingordon.ring_soliton_ic(pm)
+    steps = np.linspace(0, 1.0, 21)
+    r1 = kleingordon.kgsolver(steps, u, du, lambda u: jnp.sin(u))
+    seen = []
+    r2 = kleingordon.kgsolver(steps, u, du, lambda u: jnp.sin(u),
+                              monitor=lambda t, dt, uk, duk:
+                              seen.append(t))
+    assert_allclose(np.asarray(r1.value), np.asarray(r2.value),
+                    atol=1e-9)
+    assert len(seen) == 21
+
+
+def test_kleingordon_small_amplitude_dispersion():
+    # linear limit (F=0 gives u_tt = nabla^2 u - u): a single k mode
+    # oscillates at omega = sqrt(1 + k^2); check period roughly
+    pm = ParticleMesh(BoxSize=2 * np.pi * 4, Nmesh=[16, 16])
+    u = pm.create(type='real')
+    kf = 2 * np.pi / float(pm.BoxSize[0])
+    x = pm.create_coords('real')[0]
+    A = 1e-3
+    u = pm.create(type='real',
+                  value=jnp.broadcast_to(A * jnp.cos(kf * 4 * x),
+                                         (16, 16)))
+    # kf*4 => k=1 in these units; omega = sqrt(2)
+    du = pm.create(type='real')
+    omega = np.sqrt(1 + 1.0)
+    period = 2 * np.pi / omega
+    steps = np.linspace(0, period, 200)
+    r = kleingordon.kgsolver(steps, u, du, lambda u: 0 * u)
+    # after one full period the field returns to the initial state
+    assert_allclose(np.asarray(r.value), np.asarray(u.value),
+                    atol=A * 0.05)
+
+
+def test_gravpm_run():
+    state, spectra = run_sim(nmesh=8, boxsize=64.0, boost=1, steps=3,
+                             monitor_print=False, compat='native',
+                             resampler='cic')
+    a, k, p = spectra[-1]
+    assert a == 1.0
+    assert np.isfinite(p).all()
+    assert np.isfinite(np.asarray(state.S)).all()
+
+
+def test_gravpm_snapshot(tmp_path):
+    out = str(tmp_path / "run")
+    state, spectra = run_sim(nmesh=8, boxsize=64.0, boost=1, steps=3,
+                             monitor_print=False, compat='native',
+                             resampler='cic', output=out)
+    import glob
+    files = glob.glob(out + "/snapshot_*.npz")
+    assert len(files) >= 1
+    d = np.load(files[0])
+    assert d['Position'].shape == (512, 3)
+    assert d['Velocity'].shape == (512, 3)
+
+
+def test_lic_smoke():
+    # reference tests/test_lic.py: smoke over a rotational field
+    pm = ParticleMesh(BoxSize=8.0, Nmesh=[16, 16])
+    x = pm.create_coords('real')
+    vx = pm.create(type='real',
+                   value=jnp.broadcast_to(-x[1], (16, 16)))
+    vy = pm.create(type='real',
+                   value=jnp.broadcast_to(x[0], (16, 16)))
+    r = lic([vx, vy], kernel=lambda s: 1.0 - abs(s), length=4.0, ds=1.0,
+            resampler='linear')
+    assert np.isfinite(np.asarray(r.value)).all()
