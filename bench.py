@@ -1,8 +1,16 @@
 """Benchmark: full PM gravity step on the real TPU chip.
 
 Measures the reference pipeline shape (SURVEY.md section 3.5 /
-BASELINE.md): CIC paint of N^3 particles on an N^3 mesh + r2c +
-3 x (force transfer + c2r + readout), jitted end to end, f32.
+BASELINE.md): paint of N^3 lattice particles on an N^3 mesh + r2c +
+3 x (force transfer + c2r) + readout of the 3 force meshes, jitted
+end to end, f32, CIC.
+
+The particle state is lattice-form (per-axis mesh-shaped
+displacements, models/fastpm.py force_lattice), so paint/readout run
+as dense shift-sums (ops/gridpm.py) with no scatter/gather — the
+TPU-native formulation.  Positions are NEVER materialized as (M, 3)
+arrays (a (134e6, 3) f32 array tiles to T(8,128) on TPU = 42x HBM
+padding).
 
 The north-star target is the full 1024^3 step < 100 ms on v5e-8.
 1024^3 on 8 chips is 512^3 of work per chip, so the single-chip
@@ -13,8 +21,6 @@ Prints ONE JSON line.
 """
 import json
 import time
-
-import numpy as np
 
 
 def main():
@@ -28,31 +34,25 @@ def main():
                       resampler='cic')
     solver = Solver(pm)
 
-    # uniform grid + pseudo-random displacements, built on device;
-    # 512^3 is close to the single-chip HBM capacity, so free every
-    # intermediate before timing
+    # mesh-shaped displacement fields: uniform in [0, 2) cells
     @jax.jit
-    def make_positions():
-        Q = pm.generate_uniform_particle_grid(shift=0.0).astype(
-            jnp.float32)
-        X = Q + 2.0 * jax.random.uniform(jax.random.key(0), Q.shape,
-                                         dtype=jnp.float32)
-        return jnp.remainder(X, float(N))
+    def make_disp(key):
+        ks = jax.random.split(key, 3)
+        return tuple(
+            2.0 * jax.random.uniform(k, (N, N, N), dtype=jnp.float32)
+            for k in ks)
 
-    X = make_positions()
+    disp = make_disp(jax.random.key(0))
 
-    # staged execution: 512^3 + 512^3 particles is within ~1 GB of the
-    # v5e HBM capacity in a single program; staging keeps each program
-    # small (and matches how a memory-bound production config runs)
-    force = solver.force_staged
+    force = jax.jit(lambda d: solver.force_lattice(d, bounds=(0.0, 2.0)))
 
-    def sync(x):
+    def sync(F):
         # block_until_ready alone is not reliable through the axon
         # tunnel; force a device->host transfer of a reduction
-        return float(jnp.sum(x[:8]))
+        return float(jnp.sum(F[0][0, 0, :8]))
 
     # warmup / compile
-    F = force(X)
+    F = force(disp)
     sync(F)
     del F
 
@@ -60,7 +60,7 @@ def main():
     t0 = time.perf_counter()
     acc = 0.0
     for _ in range(nrep):
-        F = force(X)
+        F = force(disp)
         acc += sync(F)
         del F
     dt = (time.perf_counter() - t0) / nrep * 1000.0
@@ -72,8 +72,8 @@ def main():
         "unit": "ms",
         "vs_baseline": round(100.0 / dt, 3),
         "extra": {
-            "config": "512^3 CIC paint + r2c + 3x(force c2r readout), "
-                      "f32, single chip",
+            "config": "512^3 CIC paint + r2c + 3x(force c2r) + "
+                      "readout, f32, single chip, lattice fast path",
             "particles_Mps": round(mp_per_s, 1),
             "device": str(jax.devices()[0]),
         },

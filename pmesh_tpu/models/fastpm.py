@@ -299,6 +299,97 @@ class Solver(object):
         cols = [fn(rhok_value, X) for fn in stage_dirs]
         return jnp.stack(cols, axis=-1) * factor
 
+    # --- lattice fast path -------------------------------------------
+    #
+    # PM particles are born on the mesh lattice and stay in lattice
+    # order; storing the state as per-axis MESH-SHAPED displacement/
+    # velocity fields lets paint/readout run as dense shift-sums
+    # (ops/gridpm.py) with zero scatter/gather — the TPU-native
+    # formulation of the reference's hot loop (examples/
+    # nbody.py:199-218).  Applies while displacements stay within
+    # ``bounds`` cells (tracked by the caller; see
+    # gridpm.displacement_bounds).
+
+    def lpt_lattice(self, dlinear, a0, shift=0.0):
+        """LPT state in lattice form: (disp, vel) as ndim mesh-shaped
+        arrays each, in units of CELLS (not box units)."""
+        from ..ops import gridpm as _gp  # noqa: F401 (API affinity)
+        pm = self.pm
+        pt = self.cosmology
+        cell = float(pm.BoxSize[0] / pm.Nmesh[0])
+        DX1 = tuple(
+            (dlinear.apply(tf.dx1_transfer(d)).c2r().value / cell)
+            for d in range(pm.ndim))
+        D1 = float(pt.D1(a0))
+        f1 = float(pt.f1(a0))
+        E0 = float(pt.E(a0))
+        disp = tuple(dx * D1 + shift for dx in DX1)
+        vel = tuple(dx * (D1 * f1 * a0 ** 2 * E0) for dx in DX1)
+        return disp, vel
+
+    def force_lattice(self, disp, bounds, factor=None):
+        """PM gravity force at the lattice particles.
+
+        Parameters
+        ----------
+        disp : tuple of ndim mesh-shaped displacement arrays (cells).
+        bounds : (lo, hi) static displacement bounds in cells.
+
+        Returns the ndim force meshes (per-axis force at each
+        particle, in box-unit acceleration), jittable end to end.
+        """
+        from ..ops import gridpm as _gp
+        fpm = self.fpm
+        if tuple(fpm.Nmesh) != tuple(self.pm.Nmesh):
+            raise ValueError("the lattice path needs B=1 "
+                             "(force mesh == particle lattice)")
+        if factor is None:
+            factor = 1.5 * self.cosmology.Om0
+        cell = float(fpm.BoxSize[0] / fpm.Nmesh[0])
+
+        rho = _gp.paint_grid(disp, bounds=bounds,
+                             window=fpm.resampler.window.kind)
+        rhok = fpm.create(type=RealField, value=rho).r2c()
+        meshes = tuple(
+            rhok.apply(tf.force_transfer(d)).c2r().value
+            for d in range(fpm.ndim))
+        vals = _gp.readout_grid(meshes, disp, bounds=bounds,
+                                window=fpm.resampler.window.kind)
+        # force_transfer works in box wavenumbers; acceleration comes
+        # out in box units per unit kick factor, as in force()
+        return tuple(v * factor for v in vals)
+
+    def nbody_lattice(self, disp, vel, time_steps, bounds,
+                      factors='fastpm', scheme='symp2'):
+        """KDK loop in lattice form: one jitted lax.scan, state =
+        2*ndim mesh-shaped arrays.  ``vel`` and the kick are in the
+        same cell units as ``disp``."""
+        fac = _FACTORS[factors](self.cosmology) \
+            if isinstance(factors, str) else factors
+        K1, D1s, K2 = leapfrog_factors(time_steps, fac, scheme)
+        cell = float(self.pm.BoxSize[0] / self.pm.Nmesh[0])
+
+        def force_cells(disp):
+            F = self.force_lattice(disp, bounds)
+            return tuple(f / cell for f in F)
+
+        def step(carry, coeffs):
+            S, V, F = carry
+            k1, d1, k2 = coeffs
+            V = tuple(v + f * k1 for v, f in zip(V, F))
+            S = tuple(s + v * d1 for s, v in zip(S, V))
+            F = force_cells(S)
+            V = tuple(v + f * k2 for v, f in zip(V, F))
+            return (S, V, F), None
+
+        @jax.jit
+        def run(S, V):
+            F = force_cells(S)
+            (S, V, F), _ = jax.lax.scan(step, (S, V, F), (K1, D1s, K2))
+            return S, V
+
+        return run(tuple(disp), tuple(vel))
+
     # --- time integration ---
     def nbody(self, state, time_steps, factors='fastpm', scheme='symp2',
               monitor=None):

@@ -100,6 +100,9 @@ def GridIC(PowerSpectrum, BoxSize, Ngrid, D1, seed=None, shift=0.5,
         'ZA': ZA,
         '2LPT': LPT2,
         'ID': ID,
+        # linear overdensity at the particles (the reference snapshot's
+        # ICDensity block, gravpm.py:23-31)
+        'ICDensity': read(dlinear),
     }
     stats = dict(
         BoxSize=BoxSize,

@@ -1,0 +1,254 @@
+"""Lattice-structured paint/readout: the TPU fast path for N-body.
+
+In a particle-mesh N-body run the particles are born on the mesh
+lattice (one per cell, ``generate_uniform_particle_grid``) and stay in
+lattice order for the whole integration — only their *displacement*
+from the home cell evolves (the reference keeps the same structure:
+``Q`` fixed, ``S``/``ZA`` displacements, nbody/genic.py + examples/
+nbody.py:245-288).  That structure makes scatter/gather unnecessary:
+
+    position(q) = q + s(q),   s stored as ndim mesh-shaped arrays
+
+and a window paint of all particles decomposes over integer target
+offsets ``v``::
+
+    mesh[p] = sum_q  m(q) * prod_d K(v_d - s_d(q)),   v = p - q
+            = sum_v  roll( m * prod_d K(v_d - s_d), v )
+
+a *dense* mask-multiply-roll-accumulate — pure VPU + sequential HBM
+traffic, no scatter at all (the reference needs OpenMP atomics here,
+_window_generics.h:58-61; XLA's scatter/gather on TPU are serial and
+~100x off bandwidth).  ``readout`` is the mirror image with inverse
+rolls.  Periodic wrap is exactly ``jnp.roll``; under a sharded mesh
+the rolls lower to ICI collective-permutes of slab halos.
+
+The cost is ``prod_d nv_d`` passes where ``nv_d`` covers the
+displacement range [lo, hi] (in cells) plus the window support, so
+this path applies when displacements are bounded — true by
+construction for LPT initial conditions and for the early/mid steps
+of a PM run; the solver tracks the bound and falls back to the
+generic particle path (ops/paint.py) when it grows past
+``GRID_LIMIT`` offsets.
+
+Gradient pairs mirror the reference's analytic paint/readout VJPs
+(pm.py:793-859, 1872-1935): the mesh cotangent of readout is a paint
+with the same displacements, and the displacement cotangent is a
+derivative-window readout.
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .kernels import find_window
+
+__all__ = ["paint_grid", "readout_grid", "offset_range",
+           "displacement_bounds", "GRID_LIMIT"]
+
+# fall back to the generic path beyond this many shift passes
+GRID_LIMIT = 1728  # 12^3
+
+
+def offset_range(lo, hi, window):
+    """Integer target offsets [vmin, vmax] that can receive weight from
+    a displacement in [lo, hi] through ``window`` (support/2 reach)."""
+    win = find_window(window)
+    h = win.support_float / 2.0
+    eps = 1e-6
+    vmin = int(np.floor(lo - h + eps)) + 1
+    vmax = int(np.ceil(hi + h - eps)) - 1
+    # the kernel is 0 at |x| == h for the analytic windows; keep the
+    # boundary offsets anyway when h is half-integral (nearest) since
+    # ties go to one side there
+    if vmax < vmin:
+        vmax = vmin
+    return vmin, vmax
+
+
+def displacement_bounds(disp):
+    """(min, max) over all displacement components — a cheap device
+    reduction the driver can use to pick/validate static bounds."""
+    lo = disp[0].min()
+    hi = disp[0].max()
+    for s in disp[1:]:
+        lo = jnp.minimum(lo, s.min())
+        hi = jnp.maximum(hi, s.max())
+    return lo, hi
+
+
+def _normalize_bounds(bounds, ndim):
+    lo, hi = bounds
+    return float(lo), float(hi)
+
+
+def _axis_weight(win, diff, v, s):
+    # weight of target offset v for displacement s along one axis
+    x = v - s
+    return win.diff(x) if diff else win.kernel(x)
+
+
+def _decode(i, nvs):
+    # linear index -> offset vector (static python when i is python int)
+    out = []
+    rem = i
+    for n in reversed(nvs):
+        out.append(rem % n)
+        rem = rem // n
+    return tuple(reversed(out))
+
+
+def _shift_loop(meshes, disp, mass, bounds, window, diffdir, mode):
+    """The shared shift-sum driver.
+
+    mode='paint':   returns sum_v roll(w_v * mass, +v) for one mesh
+                    (meshes is None; output shape = disp[0].shape)
+    mode='readout': returns tuple(sum_v w_v * roll(m, -v) for m in meshes)
+    """
+    win = find_window(window)
+    ndim = len(disp)
+    lo, hi = _normalize_bounds(bounds, ndim)
+    vmin, vmax = offset_range(lo, hi, window)
+    nv = vmax - vmin + 1
+    nvs = (nv,) * ndim
+    total = nv ** ndim
+    if total > GRID_LIMIT:
+        raise ValueError(
+            "offset volume %d exceeds GRID_LIMIT=%d; displacements too "
+            "large for the lattice path — use the generic paint/readout"
+            % (total, GRID_LIMIT))
+
+    disp = tuple(jnp.asarray(s) for s in disp)
+    dtype = disp[0].dtype
+    shape = disp[0].shape
+
+    def weights(vvec):
+        w = None
+        for d in range(ndim):
+            wd = _axis_weight(win, diffdir == d, vvec[d], disp[d])
+            w = wd if w is None else w * wd
+        return w.astype(dtype)
+
+    axes = tuple(range(ndim))
+
+    if mode == 'paint':
+        m = (jnp.asarray(mass, dtype=dtype) if mass is not None
+             else jnp.asarray(1.0, dtype=dtype))
+
+        def body(i, out):
+            vvec = tuple(vmin + o for o in _decode(i, nvs))
+            c = weights(vvec) * m
+            return out + jnp.roll(c, vvec, axes)
+
+        return lax.fori_loop(0, total, body,
+                             jnp.zeros(shape, dtype=dtype))
+
+    # readout over one or more meshes with shared weights
+    def body(i, outs):
+        vvec = tuple(vmin + o for o in _decode(i, nvs))
+        w = weights(vvec)
+        neg = tuple(-v for v in vvec)
+        return tuple(o + w * jnp.roll(mm, neg, axes)
+                     for o, mm in zip(outs, meshes))
+
+    init = tuple(jnp.zeros(shape, dtype=dtype) for _ in meshes)
+    return lax.fori_loop(0, total, body, init)
+
+
+# --- differentiable wrappers -------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _paint_grid(disp, mass, bounds, window, ndim):
+    return _shift_loop(None, disp, mass, bounds, window, None, 'paint')
+
+
+def _paint_fwd(disp, mass, bounds, window, ndim):
+    return _paint_grid(disp, mass, bounds, window, ndim), (disp, mass)
+
+
+def _paint_bwd(bounds, window, ndim, res, v):
+    disp, mass = res
+    # mass_bar[q] = sum_v w(q,v) v[q+v]  == readout of v
+    mass_bar = _shift_loop((v,), disp, None, bounds, window, None,
+                           'readout')[0]
+    m = jnp.asarray(mass, dtype=disp[0].dtype)
+    if m.ndim == 0:
+        mass_bar = jnp.sum(mass_bar)
+    # s_d_bar[q] = mass[q] * d/ds_d sum_v w = -mass * diff-readout_d
+    disp_bar = []
+    for d in range(ndim):
+        rd = _shift_loop((v,), disp, None, bounds, window, d, 'readout')[0]
+        disp_bar.append(-m * rd)
+    return tuple(disp_bar), mass_bar
+
+
+_paint_grid.defvjp(_paint_fwd, _paint_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _readout_grid(meshes, disp, bounds, window, ndim):
+    return _shift_loop(meshes, disp, None, bounds, window, None,
+                       'readout')
+
+
+def _readout_fwd(meshes, disp, bounds, window, ndim):
+    return (_readout_grid(meshes, disp, bounds, window, ndim),
+            (meshes, disp))
+
+
+def _readout_bwd(bounds, window, ndim, res, vbar):
+    meshes, disp = res
+    # mesh cotangent: paint of each vbar with the same displacements
+    mesh_bar = tuple(
+        _shift_loop(None, disp, vb, bounds, window, None, 'paint')
+        for vb in vbar)
+    # displacement cotangent: sum over meshes of vbar * diff-readout
+    disp_bar = [jnp.zeros_like(disp[d]) for d in range(ndim)]
+    for d in range(ndim):
+        rds = _shift_loop(meshes, disp, None, bounds, window, d,
+                          'readout')
+        acc = jnp.zeros_like(disp[d])
+        for vb, rd in zip(vbar, rds):
+            acc = acc - vb * rd
+        disp_bar[d] = acc
+    return mesh_bar, tuple(disp_bar)
+
+
+_readout_grid.defvjp(_readout_fwd, _readout_bwd)
+
+
+# --- public API --------------------------------------------------------
+
+def paint_grid(disp, mass=None, bounds=(0.0, 1.0), window='cic'):
+    """Paint lattice particles displaced by ``disp`` onto their own mesh.
+
+    Parameters
+    ----------
+    disp : tuple of ndim arrays, each of the mesh shape
+        per-axis displacement from the home cell, in CELL units.
+    mass : scalar or mesh-shaped array
+    bounds : (lo, hi) floats — static displacement bounds in cells.
+        Out-of-bounds displacements silently lose mass; validate with
+        :func:`displacement_bounds`.
+    """
+    disp = tuple(jnp.asarray(s) for s in disp)
+    ndim = len(disp)
+    if mass is None:
+        mass = 1.0
+    return _paint_grid(disp, mass, (float(bounds[0]), float(bounds[1])),
+                       find_window(window).kind, ndim)
+
+
+def readout_grid(mesh, disp, bounds=(0.0, 1.0), window='cic'):
+    """Read one mesh (or a tuple of meshes, sharing the weights) at the
+    displaced lattice sites.  Inverse-adjoint of :func:`paint_grid`."""
+    single = not isinstance(mesh, (tuple, list))
+    meshes = (mesh,) if single else tuple(mesh)
+    meshes = tuple(jnp.asarray(m) for m in meshes)
+    disp = tuple(jnp.asarray(s) for s in disp)
+    ndim = len(disp)
+    out = _readout_grid(meshes, disp,
+                        (float(bounds[0]), float(bounds[1])),
+                        find_window(window).kind, ndim)
+    return out[0] if single else out

@@ -1,0 +1,162 @@
+"""Lattice-structured paint/readout (ops/gridpm.py) vs the generic
+particle path — the two must agree exactly for lattice particles."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pmesh_tpu.ops import paint as generic
+from pmesh_tpu.ops import gridpm
+
+
+def _lattice_pos(disp):
+    """positions (M, ndim) of lattice particles displaced by disp."""
+    shape = disp[0].shape
+    q = np.stack(np.meshgrid(*[np.arange(n) for n in shape],
+                             indexing='ij'), axis=-1).reshape(-1,
+                                                              len(shape))
+    s = np.stack([np.asarray(d).ravel() for d in disp], axis=-1)
+    return q + s
+
+
+@pytest.mark.parametrize("window", ['nearest', 'cic', 'tsc', 'pcs'])
+def test_paint_grid_matches_generic(window):
+    rng = np.random.RandomState(5)
+    n = 8
+    disp = tuple(jnp.asarray(rng.uniform(-1.5, 2.5, (n, n, n)), jnp.float64)
+                 for _ in range(3))
+    rho = gridpm.paint_grid(disp, bounds=(-1.5, 2.5), window=window)
+
+    pos = _lattice_pos(disp)
+    truth = generic.paint(jnp.zeros((n, n, n), jnp.float64), pos,
+                          window=window, period=n)
+    np.testing.assert_allclose(np.asarray(rho), np.asarray(truth),
+                               atol=1e-12)
+    np.testing.assert_allclose(float(rho.sum()), n ** 3, rtol=1e-12)
+
+
+@pytest.mark.parametrize("window", ['cic', 'tsc'])
+def test_readout_grid_matches_generic(window):
+    rng = np.random.RandomState(6)
+    n = 8
+    mesh = jnp.asarray(rng.normal(size=(n, n, n)))
+    disp = tuple(jnp.asarray(rng.uniform(0, 2.0, (n, n, n)), jnp.float64)
+                 for _ in range(3))
+    got = gridpm.readout_grid(mesh, disp, bounds=(0.0, 2.0),
+                              window=window)
+
+    pos = _lattice_pos(disp)
+    truth = generic.readout(mesh, pos, window=window, period=n)
+    np.testing.assert_allclose(np.asarray(got).ravel(),
+                               np.asarray(truth), atol=1e-12)
+
+
+def test_readout_grid_multi_mesh():
+    rng = np.random.RandomState(7)
+    n = 6
+    meshes = tuple(jnp.asarray(rng.normal(size=(n, n, n)))
+                   for _ in range(3))
+    disp = tuple(jnp.asarray(rng.uniform(0, 1.0, (n, n, n)))
+                 for _ in range(3))
+    got = gridpm.readout_grid(meshes, disp, bounds=(0.0, 1.0))
+    for m, g in zip(meshes, got):
+        one = gridpm.readout_grid(m, disp, bounds=(0.0, 1.0))
+        np.testing.assert_allclose(np.asarray(g), np.asarray(one))
+
+
+def test_paint_grid_2d():
+    rng = np.random.RandomState(8)
+    n = 16
+    disp = tuple(jnp.asarray(rng.uniform(0, 1.0, (n, n)))
+                 for _ in range(2))
+    rho = gridpm.paint_grid(disp, bounds=(0.0, 1.0))
+    pos = _lattice_pos(disp)
+    truth = generic.paint(jnp.zeros((n, n)), pos, window='cic', period=n)
+    np.testing.assert_allclose(np.asarray(rho), np.asarray(truth),
+                               atol=1e-6)
+
+
+def test_paint_grid_jit_grad_mass():
+    """d(sum(rho^2))/d(mass-mesh) via jax.grad vs finite differences."""
+    rng = np.random.RandomState(9)
+    n = 6
+    disp = tuple(jnp.asarray(rng.uniform(0, 1.0, (n, n, n)))
+                 for _ in range(3))
+    mass = jnp.asarray(1.0 + 0.1 * rng.normal(size=(n, n, n)))
+
+    def obj(mass):
+        rho = gridpm.paint_grid(disp, mass=mass, bounds=(0.0, 1.0))
+        return jnp.sum(rho ** 2)
+
+    g = jax.jit(jax.grad(obj))(mass)
+    eps = 1e-5
+    i = (1, 2, 3)
+    m1 = mass.at[i].add(eps)
+    m2 = mass.at[i].add(-eps)
+    fd = (obj(m1) - obj(m2)) / (2 * eps)
+    np.testing.assert_allclose(float(g[i]), float(fd), rtol=1e-4)
+
+
+def test_paint_grid_grad_disp():
+    rng = np.random.RandomState(10)
+    n = 6
+    disp = tuple(jnp.asarray(rng.uniform(0.1, 0.9, (n, n, n)))
+                 for _ in range(3))
+    target = jnp.asarray(rng.normal(size=(n, n, n)))
+
+    def obj(disp):
+        rho = gridpm.paint_grid(disp, bounds=(-0.5, 1.5))
+        return jnp.sum(rho * target)
+
+    g = jax.grad(obj)(disp)
+    eps = 1e-5
+    i = (2, 3, 4)
+    for d in range(3):
+        dd = list(disp)
+        dd[d] = disp[d].at[i].add(eps)
+        f1 = obj(tuple(dd))
+        dd[d] = disp[d].at[i].add(-eps)
+        f2 = obj(tuple(dd))
+        fd = (f1 - f2) / (2 * eps)
+        np.testing.assert_allclose(float(g[d][i]), float(fd), rtol=1e-4,
+                                   atol=1e-8)
+
+
+def test_readout_grid_grad():
+    rng = np.random.RandomState(11)
+    n = 6
+    mesh = jnp.asarray(rng.normal(size=(n, n, n)))
+    disp = tuple(jnp.asarray(rng.uniform(0.1, 0.9, (n, n, n)))
+                 for _ in range(3))
+
+    def obj(mesh, disp):
+        val = gridpm.readout_grid(mesh, disp, bounds=(-0.5, 1.5))
+        return jnp.sum(val ** 2)
+
+    gm, gd = jax.jit(jax.grad(obj, argnums=(0, 1)))(mesh, disp)
+    eps = 1e-5
+    i = (1, 4, 2)
+    fd = (obj(mesh.at[i].add(eps), disp)
+          - obj(mesh.at[i].add(-eps), disp)) / (2 * eps)
+    np.testing.assert_allclose(float(gm[i]), float(fd), rtol=1e-4)
+    for d in range(3):
+        dd = list(disp)
+        dd[d] = disp[d].at[i].add(eps)
+        f1 = obj(mesh, tuple(dd))
+        dd[d] = disp[d].at[i].add(-eps)
+        f2 = obj(mesh, tuple(dd))
+        np.testing.assert_allclose(float(gd[d][i]),
+                                   float((f1 - f2) / (2 * eps)),
+                                   rtol=1e-4, atol=1e-8)
+
+
+def test_out_of_bounds_raises_on_limit():
+    disp = tuple(jnp.zeros((4, 4, 4)) for _ in range(3))
+    with pytest.raises(ValueError):
+        gridpm.paint_grid(disp, bounds=(-200.0, 200.0))
+
+
+def test_bounds_helper():
+    disp = (jnp.asarray([-0.5, 2.0]), jnp.asarray([0.1, 0.3]))
+    lo, hi = gridpm.displacement_bounds(disp)
+    assert float(lo) == -0.5 and float(hi) == 2.0
