@@ -20,8 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 def main():
     import jax
-    if jax.default_backend() != 'tpu':
-        jax.config.update("jax_enable_x64", True)
+    # fixture generation is a small host-side tool; run it on CPU in
+    # f64 so the fixture is identical on any machine
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
     from pmesh_tpu.models.genic import GridIC
     from pmesh_tpu.models.powerspectrum import EHPower
     from pmesh_tpu.models.cosmology import Cosmology
