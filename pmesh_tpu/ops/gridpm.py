@@ -50,6 +50,20 @@ __all__ = ["paint_grid", "readout_grid", "offset_range",
 # fall back to the generic path beyond this many shift passes
 GRID_LIMIT = 1728  # 12^3
 
+# implementation selector: 'pallas' fuses the shift loop into one HBM
+# pass per mesh (ops/gridpm_pallas.py; interpret mode off-TPU), 'xla'
+# is the roll-accumulate reference formulation, 'auto' picks pallas on
+# TPU and xla elsewhere (interpret-mode pallas is slow; its
+# correctness is pinned by test_impl_pallas_matches_xla)
+IMPL = 'auto'
+
+
+def _use_pallas():
+    if IMPL == 'auto':
+        import jax as _jax
+        return _jax.default_backend() == 'tpu'
+    return IMPL == 'pallas'
+
 
 def offset_range(lo, hi, window):
     """Integer target offsets [vmin, vmax] that can receive weight from
@@ -122,6 +136,17 @@ def _shift_loop(meshes, disp, mass, bounds, window, diffdir, mode):
     disp = tuple(jnp.asarray(s) for s in disp)
     dtype = disp[0].dtype
     shape = disp[0].shape
+
+    if _use_pallas() and ndim == 3:
+        from . import gridpm_pallas as _pk
+        if mode == 'paint':
+            m = jnp.asarray(1.0 if mass is None else mass, dtype=dtype)
+            return _pk.paint_fused(disp, m, vmin, vmax, win.kind,
+                                   diffdir=diffdir,
+                                   scalar_mass=(m.ndim == 0))
+        return tuple(_pk.readout_fused(mm, disp, vmin, vmax, win.kind,
+                                       diffdir=diffdir)
+                     for mm in meshes)
 
     def weights(vvec):
         w = None

@@ -1,0 +1,164 @@
+"""Pallas TPU kernels for the lattice shift-sum paint/readout.
+
+The XLA formulation in ops/gridpm.py re-reads the displacement fields
+and re-writes the accumulator once per integer shift (~10 HBM passes
+x nv^3 shifts).  These kernels fuse the shift loop so each plane of
+data crosses HBM a handful of times: the grid walks x-planes, each
+program holds (N1, N2) planes in VMEM, evaluates the window weights
+there, and applies the y/z components of every shift as VMEM lane/
+sublane rotations (pltpu.roll — periodic wrap for free).
+
+Budget (v5e: ~16 MB VMEM, pipelined refs are double-buffered; a 512^2
+f32 plane is 1 MB):
+
+- readout: one call per mesh; refs = 3 aligned displacement planes +
+  nv sliding mesh planes (the x-window, one BlockSpec per x-offset)
+  + 1 output = 7 planes -> ~14 MB with double buffering.
+- paint: one call per x-offset vx with aligned refs only (3 disp [+
+  mass] + 1 partial output = 4-5 planes); the +vx placement is a
+  dense jnp.roll of the partial outside the kernel.
+
+Gather-form dataflow, so programs only write their own plane:
+
+  readout:  out[q]    = sum_v prod_d K(v_d - s_d(q)) * mesh[q + v]
+  paint:    out[q+vx] = sum_{vy,vz} m(q) prod_d K(v_d - s_d(q))
+                        rolled within the plane by (vy, vz)
+
+Used by ops/gridpm.py as the TPU implementation; the public API and
+the custom VJPs live there.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .kernels import find_window
+
+__all__ = ["readout_fused", "paint_fused"]
+
+
+def _shift2(x, vy, vz):
+    """plane shifted so result[j, k] = x[(j + vy) % N1, (k + vz) % N2]."""
+    n1, n2 = x.shape
+    if vy % n1:
+        x = pltpu.roll(x, (-vy) % n1, 0)
+    if vz % n2:
+        x = pltpu.roll(x, (-vz) % n2, 1)
+    return x
+
+
+def _axis_k(win, diff, v, s):
+    return win.diff(v - s) if diff else win.kernel(v - s)
+
+
+def _interpret():
+    return jax.default_backend() != 'tpu'
+
+
+def _params():
+    # v5e has 128 MiB of VMEM; the default scoped limit is 16 MiB
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _plane_spec(n1, n2, offset=0):
+    return pl.BlockSpec((1, n1, n2), lambda i, o=offset: (i + o, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'vmin', 'vmax', 'window', 'diffdir'))
+def readout_fused(mesh, disp, vmin, vmax, window, diffdir=None):
+    """sum_v prod_d K(v_d - s_d) * mesh[q+v], one fused HBM pass."""
+    win = find_window(window)
+    nv = vmax - vmin + 1
+    N0, N1, N2 = mesh.shape
+    dtype = disp[0].dtype
+
+    # x-window rows q+vmin ... q+vmax, wrap-extended
+    base = jnp.roll(mesh, -vmin, 0)
+    ext = jnp.concatenate([base, base[:nv - 1]], 0) if nv > 1 else base
+
+    def kernel(sxr, syr, szr, *rest):
+        mrefs = rest[:nv]
+        oref = rest[nv]
+        sx = sxr[0]
+        sy = syr[0]
+        sz = szr[0]
+        ky = [_axis_k(win, diffdir == 1, vy, sy).astype(dtype)
+              for vy in range(vmin, vmax + 1)]
+        kz = [_axis_k(win, diffdir == 2, vz, sz).astype(dtype)
+              for vz in range(vmin, vmax + 1)]
+        acc = jnp.zeros((N1, N2), dtype)
+        for ivx, vx in enumerate(range(vmin, vmax + 1)):
+            kx = _axis_k(win, diffdir == 0, vx, sx).astype(dtype)
+            plane = mrefs[ivx][0]
+            for ivy, vy in enumerate(range(vmin, vmax + 1)):
+                wxy = kx * ky[ivy]
+                py = _shift2(plane, vy, 0)
+                for ivz, vz in enumerate(range(vmin, vmax + 1)):
+                    acc = acc + (wxy * kz[ivz]) * _shift2(py, 0, vz)
+        oref[0] = acc
+
+    in_specs = ([_plane_spec(N1, N2)] * 3
+                + [_plane_spec(N1, N2, dx) for dx in range(nv)])
+    return pl.pallas_call(
+        kernel,
+        grid=(N0,),
+        in_specs=in_specs,
+        out_specs=_plane_spec(N1, N2),
+        out_shape=jax.ShapeDtypeStruct((N0, N1, N2), dtype),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(disp[0], disp[1], disp[2], *([ext] * nv))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'vmin', 'vmax', 'window', 'diffdir', 'scalar_mass'))
+def paint_fused(disp, mass, vmin, vmax, window, diffdir=None,
+                scalar_mass=True):
+    """sum_v roll(prod_d K(v_d - s_d) * mass, v): lattice paint."""
+    win = find_window(window)
+    N0, N1, N2 = disp[0].shape
+    dtype = disp[0].dtype
+    margs = () if scalar_mass else (mass,)
+
+    def make_kernel(vx):
+        def kernel(sxr, syr, szr, *rest):
+            oref = rest[-1]
+            sx = sxr[0]
+            sy = syr[0]
+            sz = szr[0]
+            kx = _axis_k(win, diffdir == 0, vx, sx).astype(dtype)
+            if not scalar_mass:
+                kx = kx * rest[0][0]
+            acc = jnp.zeros((N1, N2), dtype)
+            for vy in range(vmin, vmax + 1):
+                wxy = kx * _axis_k(win, diffdir == 1, vy, sy).astype(
+                    dtype)
+                for vz in range(vmin, vmax + 1):
+                    c = wxy * _axis_k(win, diffdir == 2, vz, sz).astype(
+                        dtype)
+                    # placed at p = q + v: result[p] = c[p - v]
+                    acc = acc + _shift2(c, -vy, -vz)
+            oref[0] = acc
+        return kernel
+
+    nspec = 3 + (0 if scalar_mass else 1)
+    out = None
+    for vx in range(vmin, vmax + 1):
+        partial = pl.pallas_call(
+            make_kernel(vx),
+            grid=(N0,),
+            in_specs=[_plane_spec(N1, N2)] * nspec,
+            out_specs=_plane_spec(N1, N2),
+            out_shape=jax.ShapeDtypeStruct((N0, N1, N2), dtype),
+            compiler_params=_params(),
+            interpret=_interpret(),
+        )(disp[0], disp[1], disp[2], *margs)
+        partial = jnp.roll(partial, vx, 0)
+        out = partial if out is None else out + partial
+    if scalar_mass:
+        out = out * jnp.asarray(mass, dtype)
+    return out

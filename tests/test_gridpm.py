@@ -160,3 +160,28 @@ def test_bounds_helper():
     disp = (jnp.asarray([-0.5, 2.0]), jnp.asarray([0.1, 0.3]))
     lo, hi = gridpm.displacement_bounds(disp)
     assert float(lo) == -0.5 and float(hi) == 2.0
+
+
+def test_impl_pallas_matches_xla():
+    rng = np.random.RandomState(12)
+    n = 8
+    disp = tuple(jnp.asarray(rng.uniform(-1.0, 2.0, (n, n, n)))
+                 for _ in range(3))
+    mass = jnp.asarray(1.0 + 0.2 * rng.normal(size=(n, n, n)))
+    mesh = jnp.asarray(rng.normal(size=(n, n, n)))
+    import pmesh_tpu.ops.gridpm as gp
+    outs = {}
+    for impl in ('xla', 'pallas'):
+        old, gp.IMPL = gp.IMPL, impl
+        try:
+            outs[impl] = (
+                gp.paint_grid(disp, mass=mass, bounds=(-1.0, 2.0)),
+                gp.readout_grid(mesh, disp, bounds=(-1.0, 2.0)))
+        finally:
+            gp.IMPL = old
+    np.testing.assert_allclose(np.asarray(outs['xla'][0]),
+                               np.asarray(outs['pallas'][0]),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(outs['xla'][1]),
+                               np.asarray(outs['pallas'][1]),
+                               atol=1e-12)
