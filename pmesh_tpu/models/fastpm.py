@@ -327,13 +327,21 @@ class Solver(object):
         vel = tuple(dx * (D1 * f1 * a0 ** 2 * E0) for dx in DX1)
         return disp, vel
 
-    def force_lattice(self, disp, bounds, factor=None):
+    def force_lattice(self, disp, bounds, factor=None, mode='spectral'):
         """PM gravity force at the lattice particles.
 
         Parameters
         ----------
         disp : tuple of ndim mesh-shaped displacement arrays (cells).
         bounds : (lo, hi) static displacement bounds in cells.
+        mode : 'spectral' | 'gradient'
+            'spectral' differentiates in k-space (3 inverse FFTs, the
+            examples/nbody.py:199-218 pipeline).  'gradient' solves
+            one Poisson inverse FFT for the potential and takes the
+            force from the derivative-window readout (K' kernels) —
+            the finite-difference force family the reference's QPM
+            app uses (transfer.py SuperLanzcos; window diff kernels);
+            3x less FFT work, slightly more small-scale force noise.
 
         Returns the ndim force meshes (per-axis force at each
         particle, in box-unit acceleration), jittable end to end.
@@ -346,21 +354,34 @@ class Solver(object):
         if factor is None:
             factor = 1.5 * self.cosmology.Om0
         cell = float(fpm.BoxSize[0] / fpm.Nmesh[0])
+        kind = fpm.resampler.window.kind
 
-        rho = _gp.paint_grid(disp, bounds=bounds,
-                             window=fpm.resampler.window.kind)
+        rho = _gp.paint_grid(disp, bounds=bounds, window=kind)
         rhok = fpm.create(type=RealField, value=rho).r2c()
-        meshes = tuple(
-            rhok.apply(tf.force_transfer(d)).c2r().value
-            for d in range(fpm.ndim))
-        vals = _gp.readout_grid(meshes, disp, bounds=bounds,
-                                window=fpm.resampler.window.kind)
-        # force_transfer works in box wavenumbers; acceleration comes
-        # out in box units per unit kick factor, as in force()
+        if mode == 'spectral':
+            meshes = tuple(
+                rhok.apply(tf.force_transfer(d)).c2r().value
+                for d in range(fpm.ndim))
+            vals = _gp.readout_grid(meshes, disp, bounds=bounds,
+                                    window=kind)
+        elif mode == 'gradient':
+            # F_d = -d(phi)/dx_d; the diffdir readout returns the
+            # derivative of the interpolation w.r.t. position in cell
+            # units (see gridpm.readout_grid), so F_d = -readout_d/cell
+            phi = rhok.apply(tf.poisson()).c2r().value
+            vals = tuple(
+                -_gp.readout_grid(phi, disp, bounds=bounds, window=kind,
+                                  diffdir=d) / cell
+                for d in range(fpm.ndim))
+        else:
+            raise ValueError("mode must be 'spectral' or 'gradient'")
+        # transfers work in box wavenumbers; acceleration comes out in
+        # box units per unit kick factor, as in force()
         return tuple(v * factor for v in vals)
 
     def nbody_lattice(self, disp, vel, time_steps, bounds,
-                      factors='fastpm', scheme='symp2'):
+                      factors='fastpm', scheme='symp2',
+                      force_mode='spectral'):
         """KDK loop in lattice form: one jitted lax.scan, state =
         2*ndim mesh-shaped arrays.  ``vel`` and the kick are in the
         same cell units as ``disp``."""
@@ -370,7 +391,7 @@ class Solver(object):
         cell = float(self.pm.BoxSize[0] / self.pm.Nmesh[0])
 
         def force_cells(disp):
-            F = self.force_lattice(disp, bounds)
+            F = self.force_lattice(disp, bounds, mode=force_mode)
             return tuple(f / cell for f in F)
 
         def step(carry, coeffs):

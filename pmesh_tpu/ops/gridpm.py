@@ -98,9 +98,13 @@ def _normalize_bounds(bounds, ndim):
 
 
 def _axis_weight(win, diff, v, s):
-    # weight of target offset v for displacement s along one axis
+    # weight of target offset v for displacement s along one axis.
+    # diff kernels follow the generic path's convention (argument
+    # pos - cell = s - v, ops/paint.py _kweight): the diffdir readout
+    # equals +d/ds of the interpolation; symmetric kernels make that
+    # -win.diff(v - s)
     x = v - s
-    return win.diff(x) if diff else win.kernel(x)
+    return -win.diff(x) if diff else win.kernel(x)
 
 
 def _decode(i, nvs):
@@ -200,11 +204,11 @@ def _paint_bwd(bounds, window, ndim, res, v):
     m = jnp.asarray(mass, dtype=disp[0].dtype)
     if m.ndim == 0:
         mass_bar = jnp.sum(mass_bar)
-    # s_d_bar[q] = mass[q] * d/ds_d sum_v w = -mass * diff-readout_d
+    # s_d_bar[q] = mass[q] * d/ds_d sum_v w = mass * diff-readout_d
     disp_bar = []
     for d in range(ndim):
         rd = _shift_loop((v,), disp, None, bounds, window, d, 'readout')[0]
-        disp_bar.append(-m * rd)
+        disp_bar.append(m * rd)
     return tuple(disp_bar), mass_bar
 
 
@@ -235,7 +239,7 @@ def _readout_bwd(bounds, window, ndim, res, vbar):
                           'readout')
         acc = jnp.zeros_like(disp[d])
         for vb, rd in zip(vbar, rds):
-            acc = acc - vb * rd
+            acc = acc + vb * rd
         disp_bar[d] = acc
     return mesh_bar, tuple(disp_bar)
 
@@ -265,15 +269,29 @@ def paint_grid(disp, mass=None, bounds=(0.0, 1.0), window='cic'):
                        find_window(window).kind, ndim)
 
 
-def readout_grid(mesh, disp, bounds=(0.0, 1.0), window='cic'):
+def readout_grid(mesh, disp, bounds=(0.0, 1.0), window='cic',
+                 diffdir=None):
     """Read one mesh (or a tuple of meshes, sharing the weights) at the
-    displaced lattice sites.  Inverse-adjoint of :func:`paint_grid`."""
+    displaced lattice sites.  Inverse-adjoint of :func:`paint_grid`.
+
+    ``diffdir`` selects the derivative-kernel readout along one axis
+    (the reference's gradient windows, _window_imp.c diff kernels):
+    the returned value equals the derivative of the interpolated
+    field with respect to the particle position along that axis (in
+    CELL units), matching ops/paint.py's diffdir convention.  Like
+    the reference (pm.py:823), gradients OF a diffdir readout go
+    through plain autodiff, not the custom VJP.
+    """
     single = not isinstance(mesh, (tuple, list))
     meshes = (mesh,) if single else tuple(mesh)
     meshes = tuple(jnp.asarray(m) for m in meshes)
     disp = tuple(jnp.asarray(s) for s in disp)
     ndim = len(disp)
-    out = _readout_grid(meshes, disp,
-                        (float(bounds[0]), float(bounds[1])),
-                        find_window(window).kind, ndim)
+    b = (float(bounds[0]), float(bounds[1]))
+    kind = find_window(window).kind
+    if diffdir is None:
+        out = _readout_grid(meshes, disp, b, kind, ndim)
+    else:
+        out = _shift_loop(meshes, disp, None, b, kind, int(diffdir),
+                          'readout')
     return out[0] if single else out

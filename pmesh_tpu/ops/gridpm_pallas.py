@@ -50,7 +50,8 @@ def _shift2(x, vy, vz):
 
 
 def _axis_k(win, diff, v, s):
-    return win.diff(v - s) if diff else win.kernel(v - s)
+    # diff sign convention: see gridpm._axis_weight
+    return -win.diff(v - s) if diff else win.kernel(v - s)
 
 
 def _interpret():

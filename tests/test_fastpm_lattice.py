@@ -71,3 +71,49 @@ def test_lpt_lattice_matches_lpt():
         np.testing.assert_allclose(np.asarray(vel[d]).ravel() * cell,
                                    np.asarray(state.V[:, d]),
                                    rtol=1e-8, atol=1e-10)
+
+
+def test_diffdir_readout_matches_generic():
+    from pmesh_tpu.ops import gridpm, paint as generic
+    rng = np.random.RandomState(13)
+    n = 8
+    mesh = jnp.asarray(rng.normal(size=(n, n, n)))
+    disp = tuple(jnp.asarray(rng.uniform(0.05, 0.95, (n, n, n)))
+                 for _ in range(3))
+    q = np.stack(np.meshgrid(*[np.arange(n)] * 3, indexing='ij'),
+                 axis=-1).reshape(-1, 3)
+    pos = q + np.stack([np.asarray(d).ravel() for d in disp], axis=-1)
+    for d in range(3):
+        got = gridpm.readout_grid(mesh, disp, bounds=(0.0, 1.0),
+                                  window='tsc', diffdir=d)
+        truth = generic.readout(mesh, pos, window='tsc', period=n,
+                                diffdir=d)
+        np.testing.assert_allclose(np.asarray(got).ravel(),
+                                   np.asarray(truth), atol=1e-10)
+
+
+def test_force_gradient_mode():
+    """The window-gradient force agrees with the spectral force on
+    smooth (large-scale) fields when the window is differentiable
+    (TSC+); with CIC the kernel derivative is a step function and the
+    small-scale force is much noisier — hence TSC here."""
+    n = 16
+    pm = ParticleMesh(Nmesh=[n] * 3, BoxSize=float(n), dtype='f8',
+                      resampler='tsc')
+    solver = Solver(pm, force_resampler='tsc')
+    # a smooth single-mode displacement field
+    x = np.arange(n) * (2 * np.pi / n)
+    X, Y, Z = np.meshgrid(x, x, x, indexing='ij')
+    disp = (jnp.asarray(0.4 * np.sin(X + 0.3)),
+            jnp.asarray(0.4 * np.sin(Y + 1.1)),
+            jnp.asarray(0.4 * np.cos(Z)))
+
+    Fs = solver.force_lattice(disp, bounds=(-0.5, 0.5), mode='spectral')
+    Fg = solver.force_lattice(disp, bounds=(-0.5, 0.5), mode='gradient')
+    for d in range(3):
+        a, b = np.asarray(Fs[d]).ravel(), np.asarray(Fg[d]).ravel()
+        rms = np.sqrt(np.mean(a ** 2)) + 1e-30
+        # net momentum small relative to the total force magnitude
+        assert abs(float(np.sum(np.asarray(Fg[d])))) < 1e-3 * rms * n ** 3
+        assert np.sqrt(np.mean((a - b) ** 2)) / rms < 0.05
+        assert np.corrcoef(a, b)[0, 1] > 0.998
