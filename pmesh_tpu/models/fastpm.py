@@ -355,15 +355,20 @@ class Solver(object):
             factor = 1.5 * self.cosmology.Om0
         cell = float(fpm.BoxSize[0] / fpm.Nmesh[0])
         kind = fpm.resampler.window.kind
+        # on a device mesh the rolls of the XLA formulation lower to
+        # ICI halo collective-permutes under GSPMD; the pallas kernels
+        # are single-device (shard_map wrapping: future work)
+        impl = 'xla' if fpm.procmesh is not None else None
 
-        rho = _gp.paint_grid(disp, bounds=bounds, window=kind)
+        rho = _gp.paint_grid(disp, bounds=bounds, window=kind,
+                             impl=impl)
         rhok = fpm.create(type=RealField, value=rho).r2c()
         if mode == 'spectral':
             meshes = tuple(
                 rhok.apply(tf.force_transfer(d)).c2r().value
                 for d in range(fpm.ndim))
             vals = _gp.readout_grid(meshes, disp, bounds=bounds,
-                                    window=kind)
+                                    window=kind, impl=impl)
         elif mode == 'gradient':
             # F_d = -d(phi)/dx_d; the diffdir readout returns the
             # derivative of the interpolation w.r.t. position in cell
@@ -371,7 +376,7 @@ class Solver(object):
             phi = rhok.apply(tf.poisson()).c2r().value
             vals = tuple(
                 -_gp.readout_grid(phi, disp, bounds=bounds, window=kind,
-                                  diffdir=d) / cell
+                                  diffdir=d, impl=impl) / cell
                 for d in range(fpm.ndim))
         else:
             raise ValueError("mode must be 'spectral' or 'gradient'")

@@ -58,11 +58,12 @@ GRID_LIMIT = 1728  # 12^3
 IMPL = 'auto'
 
 
-def _use_pallas():
-    if IMPL == 'auto':
+def _use_pallas(impl=None):
+    impl = IMPL if impl is None else impl
+    if impl == 'auto':
         import jax as _jax
         return _jax.default_backend() == 'tpu'
-    return IMPL == 'pallas'
+    return impl == 'pallas'
 
 
 def offset_range(lo, hi, window):
@@ -117,7 +118,8 @@ def _decode(i, nvs):
     return tuple(reversed(out))
 
 
-def _shift_loop(meshes, disp, mass, bounds, window, diffdir, mode):
+def _shift_loop(meshes, disp, mass, bounds, window, diffdir, mode,
+                impl=None):
     """The shared shift-sum driver.
 
     mode='paint':   returns sum_v roll(w_v * mass, +v) for one mesh
@@ -141,7 +143,7 @@ def _shift_loop(meshes, disp, mass, bounds, window, diffdir, mode):
     dtype = disp[0].dtype
     shape = disp[0].shape
 
-    if _use_pallas() and ndim == 3:
+    if _use_pallas(impl) and ndim == 3:
         from . import gridpm_pallas as _pk
         if mode == 'paint':
             m = jnp.asarray(1.0 if mass is None else mass, dtype=dtype)
@@ -187,27 +189,30 @@ def _shift_loop(meshes, disp, mass, bounds, window, diffdir, mode):
 
 # --- differentiable wrappers -------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _paint_grid(disp, mass, bounds, window, ndim):
-    return _shift_loop(None, disp, mass, bounds, window, None, 'paint')
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _paint_grid(disp, mass, bounds, window, ndim, impl=None):
+    return _shift_loop(None, disp, mass, bounds, window, None, 'paint',
+                       impl)
 
 
-def _paint_fwd(disp, mass, bounds, window, ndim):
-    return _paint_grid(disp, mass, bounds, window, ndim), (disp, mass)
+def _paint_fwd(disp, mass, bounds, window, ndim, impl=None):
+    return (_paint_grid(disp, mass, bounds, window, ndim, impl),
+            (disp, mass))
 
 
-def _paint_bwd(bounds, window, ndim, res, v):
+def _paint_bwd(bounds, window, ndim, impl, res, v):
     disp, mass = res
     # mass_bar[q] = sum_v w(q,v) v[q+v]  == readout of v
     mass_bar = _shift_loop((v,), disp, None, bounds, window, None,
-                           'readout')[0]
+                           'readout', impl)[0]
     m = jnp.asarray(mass, dtype=disp[0].dtype)
     if m.ndim == 0:
         mass_bar = jnp.sum(mass_bar)
     # s_d_bar[q] = mass[q] * d/ds_d sum_v w = mass * diff-readout_d
     disp_bar = []
     for d in range(ndim):
-        rd = _shift_loop((v,), disp, None, bounds, window, d, 'readout')[0]
+        rd = _shift_loop((v,), disp, None, bounds, window, d, 'readout',
+                         impl)[0]
         disp_bar.append(m * rd)
     return tuple(disp_bar), mass_bar
 
@@ -215,28 +220,28 @@ def _paint_bwd(bounds, window, ndim, res, v):
 _paint_grid.defvjp(_paint_fwd, _paint_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _readout_grid(meshes, disp, bounds, window, ndim):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _readout_grid(meshes, disp, bounds, window, ndim, impl=None):
     return _shift_loop(meshes, disp, None, bounds, window, None,
-                       'readout')
+                       'readout', impl)
 
 
-def _readout_fwd(meshes, disp, bounds, window, ndim):
-    return (_readout_grid(meshes, disp, bounds, window, ndim),
+def _readout_fwd(meshes, disp, bounds, window, ndim, impl=None):
+    return (_readout_grid(meshes, disp, bounds, window, ndim, impl),
             (meshes, disp))
 
 
-def _readout_bwd(bounds, window, ndim, res, vbar):
+def _readout_bwd(bounds, window, ndim, impl, res, vbar):
     meshes, disp = res
     # mesh cotangent: paint of each vbar with the same displacements
     mesh_bar = tuple(
-        _shift_loop(None, disp, vb, bounds, window, None, 'paint')
+        _shift_loop(None, disp, vb, bounds, window, None, 'paint', impl)
         for vb in vbar)
     # displacement cotangent: sum over meshes of vbar * diff-readout
     disp_bar = [jnp.zeros_like(disp[d]) for d in range(ndim)]
     for d in range(ndim):
         rds = _shift_loop(meshes, disp, None, bounds, window, d,
-                          'readout')
+                          'readout', impl)
         acc = jnp.zeros_like(disp[d])
         for vb, rd in zip(vbar, rds):
             acc = acc + vb * rd
@@ -249,7 +254,8 @@ _readout_grid.defvjp(_readout_fwd, _readout_bwd)
 
 # --- public API --------------------------------------------------------
 
-def paint_grid(disp, mass=None, bounds=(0.0, 1.0), window='cic'):
+def paint_grid(disp, mass=None, bounds=(0.0, 1.0), window='cic',
+               impl=None):
     """Paint lattice particles displaced by ``disp`` onto their own mesh.
 
     Parameters
@@ -266,11 +272,11 @@ def paint_grid(disp, mass=None, bounds=(0.0, 1.0), window='cic'):
     if mass is None:
         mass = 1.0
     return _paint_grid(disp, mass, (float(bounds[0]), float(bounds[1])),
-                       find_window(window).kind, ndim)
+                       find_window(window).kind, ndim, impl)
 
 
 def readout_grid(mesh, disp, bounds=(0.0, 1.0), window='cic',
-                 diffdir=None):
+                 diffdir=None, impl=None):
     """Read one mesh (or a tuple of meshes, sharing the weights) at the
     displaced lattice sites.  Inverse-adjoint of :func:`paint_grid`.
 
@@ -290,8 +296,8 @@ def readout_grid(mesh, disp, bounds=(0.0, 1.0), window='cic',
     b = (float(bounds[0]), float(bounds[1]))
     kind = find_window(window).kind
     if diffdir is None:
-        out = _readout_grid(meshes, disp, b, kind, ndim)
+        out = _readout_grid(meshes, disp, b, kind, ndim, impl)
     else:
         out = _shift_loop(meshes, disp, None, b, kind, int(diffdir),
-                          'readout')
+                          'readout', impl)
     return out[0] if single else out

@@ -117,3 +117,29 @@ def test_force_gradient_mode():
         assert abs(float(np.sum(np.asarray(Fg[d])))) < 1e-3 * rms * n ** 3
         assert np.sqrt(np.mean((a - b) ** 2)) / rms < 0.05
         assert np.corrcoef(a, b)[0, 1] > 0.998
+
+
+def test_force_lattice_sharded_matches_single():
+    """The lattice force on a slab-sharded 8-device mesh equals the
+    single-device result (rolls lower to halo collective-permutes)."""
+    from pmesh_tpu.parallel.pmesh import ProcessMesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    n = 16
+    rng = np.random.RandomState(21)
+    disp_np = [rng.uniform(-0.4, 0.6, (n, n, n)) for _ in range(3)]
+
+    pm1 = ParticleMesh(Nmesh=[n] * 3, BoxSize=float(n), dtype='f8',
+                       resampler='cic')
+    F1 = Solver(pm1).force_lattice(
+        tuple(jnp.asarray(d) for d in disp_np), bounds=(-0.5, 0.7))
+
+    procmesh = ProcessMesh(jax.devices())
+    pmN = ParticleMesh(Nmesh=[n] * 3, BoxSize=float(n), dtype='f8',
+                       resampler='cic', procmesh=procmesh)
+    sh = NamedSharding(procmesh.mesh, P(procmesh.axis, None, None))
+    dispN = tuple(jax.device_put(jnp.asarray(d), sh) for d in disp_np)
+    FN = jax.jit(lambda d: Solver(pmN).force_lattice(
+        d, bounds=(-0.5, 0.7)))(dispN)
+    for d in range(3):
+        np.testing.assert_allclose(np.asarray(FN[d]), np.asarray(F1[d]),
+                                   rtol=1e-10, atol=1e-12)
