@@ -57,7 +57,10 @@ def main():
         @jax.jit
         def run(disp):
             def step(S, _):
-                F = solver.force_lattice(S, bounds=bounds)
+                # fft='mxu': DFT-matmul pallas FFT with the i*k_d
+                # force kernel folded into the inverse DFT matrices;
+                # matches the XLA-FFT path to f32 roundoff (7e-8)
+                F = solver.force_lattice(S, bounds=bounds, fft='mxu')
                 # tiny kick-drift so displacements stay in bounds
                 S = tuple(s + 1e-6 * f for s, f in zip(S, F))
                 return S, None

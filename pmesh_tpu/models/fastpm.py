@@ -327,7 +327,51 @@ class Solver(object):
         vel = tuple(dx * (D1 * f1 * a0 ** 2 * E0) for dx in DX1)
         return disp, vel
 
-    def force_lattice(self, disp, bounds, factor=None, mode='spectral'):
+    def _mxu_force_meshes(self, rho):
+        """spectral force meshes via the MXU DFT-matmul FFT
+        (ops/fft_mxu.py): one real forward, 1/k^2 applied to the full
+        (re, im) spectrum, and the i*k_d force kernel FOLDED into the
+        per-axis inverse DFT matrices — three inverse transforms, no
+        extra elementwise passes."""
+        import numpy as np
+        from ..ops import fft_mxu
+        fpm = self.fpm
+        shape = tuple(int(n) for n in fpm.Nmesh)
+        if not hasattr(self, '_mxu_cache'):
+            ks = [np.fft.fftfreq(n, d=float(b) / n) * 2 * np.pi
+                  for n, b in zip(shape, fpm.BoxSize)]
+            # SuperLanczos order-1 difference kernel, matching
+            # tf.force_transfer's default (examples/nbody.py:162-169)
+            kd = []
+            for d, n in enumerate(shape):
+                cell = float(fpm.BoxSize[d]) / n
+                w = ks[d] * cell
+                kd.append(tuple(
+                    (1.0 / (6.0 * cell)
+                     * (8 * np.sin(w) - np.sin(2 * w))).tolist()))
+            # cache PLAIN numpy: jnp constants created inside a trace
+            # are trace-bound and would leak into later traces
+            self._mxu_cache = (
+                tuple((k ** 2).astype('f4') for k in ks), tuple(kd))
+        k2_np, kd = self._mxu_cache
+        k2_1d = tuple(jnp.asarray(k) for k in k2_np)
+        r, i = fft_mxu.fft3_real_forward(rho)
+        # 1/k^2 built in-graph from three (N,) constants; the tie to
+        # `r` stops XLA from constant-folding the (N,N,N) product into
+        # a 512 MB program literal (the remote compiler rejects those)
+        tie = 0.0 * r[0, 0, 0]
+        k2 = ((k2_1d[0] + tie)[:, None, None]
+              + k2_1d[1][None, :, None] + k2_1d[2][None, None, :])
+        invk2 = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0),
+                          0.0)
+        pr = r * invk2
+        pi = i * invk2
+        return tuple(
+            fft_mxu.fft3_real_inverse(pr, pi, grad=d, kvec=kd[d])
+            for d in range(3))
+
+    def force_lattice(self, disp, bounds, factor=None, mode='spectral',
+                      fft='xla'):
         """PM gravity force at the lattice particles.
 
         Parameters
@@ -362,6 +406,13 @@ class Solver(object):
 
         rho = _gp.paint_grid(disp, bounds=bounds, window=kind,
                              impl=impl)
+        if mode == 'spectral' and fft == 'mxu':
+            if fpm.ndim != 3 or fpm.procmesh is not None:
+                raise ValueError("fft='mxu' is 3-d single-device only")
+            meshes = self._mxu_force_meshes(rho)
+            vals = _gp.readout_grid(meshes, disp, bounds=bounds,
+                                    window=kind, impl=impl)
+            return tuple(v * factor for v in vals)
         rhok = fpm.create(type=RealField, value=rho).r2c()
         if mode == 'spectral':
             meshes = tuple(

@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .kernels import find_window
 
-__all__ = ["readout_fused", "paint_fused"]
+__all__ = ["readout_fused", "readout_fused_multi", "paint_fused"]
 
 
 def _shift2(x, vy, vz):
@@ -69,21 +69,27 @@ def _plane_spec(n1, n2, offset=0):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    'vmin', 'vmax', 'window', 'diffdir'))
-def readout_fused(mesh, disp, vmin, vmax, window, diffdir=None):
-    """sum_v prod_d K(v_d - s_d) * mesh[q+v], one fused HBM pass."""
+    'vmin', 'vmax', 'window', 'diffdir', 'nmesh'))
+def _readout_fused_multi(meshes, disp, vmin, vmax, window, diffdir,
+                         nmesh):
+    """sum_v prod_d K(v_d - s_d) * mesh[q+v] for each of nmesh meshes,
+    sharing the window weights and the x-window pipeline — one fused
+    HBM pass for the whole batch."""
     win = find_window(window)
     nv = vmax - vmin + 1
-    N0, N1, N2 = mesh.shape
+    N0, N1, N2 = meshes[0].shape
     dtype = disp[0].dtype
 
     # x-window rows q+vmin ... q+vmax, wrap-extended
-    base = jnp.roll(mesh, -vmin, 0)
-    ext = jnp.concatenate([base, base[:nv - 1]], 0) if nv > 1 else base
+    exts = []
+    for mesh in meshes:
+        base = jnp.roll(mesh, -vmin, 0)
+        exts.append(jnp.concatenate([base, base[:nv - 1]], 0)
+                    if nv > 1 else base)
 
     def kernel(sxr, syr, szr, *rest):
-        mrefs = rest[:nv]
-        oref = rest[nv]
+        mrefs = rest[:nmesh * nv]
+        orefs = rest[nmesh * nv:]
         sx = sxr[0]
         sy = syr[0]
         sz = szr[0]
@@ -91,28 +97,49 @@ def readout_fused(mesh, disp, vmin, vmax, window, diffdir=None):
               for vy in range(vmin, vmax + 1)]
         kz = [_axis_k(win, diffdir == 2, vz, sz).astype(dtype)
               for vz in range(vmin, vmax + 1)]
-        acc = jnp.zeros((N1, N2), dtype)
+        accs = [jnp.zeros((N1, N2), dtype) for _ in range(nmesh)]
         for ivx, vx in enumerate(range(vmin, vmax + 1)):
             kx = _axis_k(win, diffdir == 0, vx, sx).astype(dtype)
-            plane = mrefs[ivx][0]
+            planes = [mrefs[m * nv + ivx][0] for m in range(nmesh)]
             for ivy, vy in enumerate(range(vmin, vmax + 1)):
                 wxy = kx * ky[ivy]
-                py = _shift2(plane, vy, 0)
+                pys = [_shift2(p, vy, 0) for p in planes]
                 for ivz, vz in enumerate(range(vmin, vmax + 1)):
-                    acc = acc + (wxy * kz[ivz]) * _shift2(py, 0, vz)
-        oref[0] = acc
+                    w = wxy * kz[ivz]
+                    for m in range(nmesh):
+                        accs[m] = accs[m] + w * _shift2(pys[m], 0, vz)
+        for m in range(nmesh):
+            orefs[m][0] = accs[m]
 
     in_specs = ([_plane_spec(N1, N2)] * 3
-                + [_plane_spec(N1, N2, dx) for dx in range(nv)])
+                + [_plane_spec(N1, N2, dx)
+                   for _ in range(nmesh) for dx in range(nv)])
+    margs = []
+    for e in exts:
+        margs.extend([e] * nv)
     return pl.pallas_call(
         kernel,
         grid=(N0,),
         in_specs=in_specs,
-        out_specs=_plane_spec(N1, N2),
-        out_shape=jax.ShapeDtypeStruct((N0, N1, N2), dtype),
+        out_specs=tuple(_plane_spec(N1, N2) for _ in range(nmesh)),
+        out_shape=tuple(jax.ShapeDtypeStruct((N0, N1, N2), dtype)
+                        for _ in range(nmesh)),
         compiler_params=_params(),
         interpret=_interpret(),
-    )(disp[0], disp[1], disp[2], *([ext] * nv))
+    )(disp[0], disp[1], disp[2], *margs)
+
+
+def readout_fused(mesh, disp, vmin, vmax, window, diffdir=None):
+    """single-mesh wrapper over :func:`_readout_fused_multi`."""
+    return _readout_fused_multi((mesh,), tuple(disp), vmin, vmax,
+                                window, diffdir, 1)[0]
+
+
+def readout_fused_multi(meshes, disp, vmin, vmax, window,
+                        diffdir=None):
+    meshes = tuple(meshes)
+    return _readout_fused_multi(meshes, tuple(disp), vmin, vmax,
+                                window, diffdir, len(meshes))
 
 
 @functools.partial(jax.jit, static_argnames=(
