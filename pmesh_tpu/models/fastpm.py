@@ -310,9 +310,12 @@ class Solver(object):
     # ``bounds`` cells (tracked by the caller; see
     # gridpm.displacement_bounds).
 
-    def lpt_lattice(self, dlinear, a0, shift=0.0):
+    def lpt_lattice(self, dlinear, a0, shift=0.0, order=1):
         """LPT state in lattice form: (disp, vel) as ndim mesh-shaped
-        arrays each, in units of CELLS (not box units)."""
+        arrays each, in units of CELLS (not box units).  Sampling the
+        displacement kernels at the unshifted lattice sites makes the
+        readout an identity, so the c2r mesh IS the per-particle
+        displacement — no interpolation at all."""
         from ..ops import gridpm as _gp  # noqa: F401 (API affinity)
         pm = self.pm
         pt = self.cosmology
@@ -325,6 +328,28 @@ class Solver(object):
         E0 = float(pt.E(a0))
         disp = tuple(dx * D1 + shift for dx in DX1)
         vel = tuple(dx * (D1 * f1 * a0 ** 2 * E0) for dx in DX1)
+        if order >= 2 and pm.ndim == 3:
+            # 2LPT source from strain products, as in lpt()
+            def phi_ab(a, b):
+                def filt(k, v):
+                    k2 = k.normp(2, zeromode=1.0)
+                    return v * k[a] * k[b] / k2
+                return dlinear.apply(filt).c2r().value
+
+            src = 0.0
+            for a in range(3):
+                for b in range(a + 1, 3):
+                    src = src + (phi_ab(a, a) * phi_ab(b, b)
+                                 - phi_ab(a, b) ** 2)
+            source2 = pm.create(type=RealField, value=src).r2c()
+            DX2 = tuple(
+                (source2.apply(tf.dx1_transfer(d)).c2r().value / cell)
+                for d in range(3))
+            D2 = float(pt.D2(a0))
+            f2 = float(pt.f2(a0))
+            disp = tuple(s + dx2 * D2 for s, dx2 in zip(disp, DX2))
+            vel = tuple(v + dx2 * (D2 * f2 * a0 ** 2 * E0)
+                        for v, dx2 in zip(vel, DX2))
         return disp, vel
 
     def _mxu_force_meshes(self, rho):

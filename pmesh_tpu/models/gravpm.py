@@ -29,9 +29,14 @@ def run_sim(nmesh=64, boxsize=256.0, boost=2, resampler='tsc',
             seed=120577, ainit=0.1, afinal=1.0, steps=10, order=2,
             unitary=True, compat='native', dtype='f8',
             snapshot_times=(), output=None, monitor_print=True,
-            procmesh=None):
+            procmesh=None, lattice=False):
     """Run the full IC -> N-body -> P(k) pipeline; returns the final
-    state and the list of measured spectra."""
+    state and the list of measured spectra.
+
+    lattice=True uses the mesh-shaped fast path (ops/gridpm.py):
+    requires boost=1; displacement bounds are estimated from the LPT
+    amplitude scaled by linear growth to afinal with a 2x margin.
+    """
     pm = ParticleMesh(BoxSize=boxsize, Nmesh=[nmesh] * 3,
                       resampler=resampler, dtype=dtype,
                       procmesh=procmesh)
@@ -40,6 +45,10 @@ def run_sim(nmesh=64, boxsize=256.0, boost=2, resampler='tsc',
 
     dlin = solver.linear_field(power, seed=seed, unitary=unitary,
                                compat=compat)
+    if lattice:
+        return _run_lattice(pm, solver, dlin, ainit, afinal, steps,
+                            order, snapshot_times, output,
+                            monitor_print)
     state = solver.lpt(dlin, a0=ainit, order=order, shift=0.0)
 
     time_steps = np.linspace(ainit, afinal, steps, endpoint=True)
@@ -69,6 +78,76 @@ def run_sim(nmesh=64, boxsize=256.0, boost=2, resampler='tsc',
                          scheme='symp2', monitor=use_monitor)
     measure(afinal, state)
     return state, spectra
+
+
+def _run_lattice(pm, solver, dlin, ainit, afinal, steps, order,
+                 snapshot_times, output, monitor_print):
+    """The lattice-form run: mesh-shaped SoA state, shift-sum
+    paint/readout, snapshots via segmented nbody_lattice calls."""
+    import jax
+    from ..ops import gridpm
+    from ..ops.power import fftpower as _fftpower
+
+    nmesh = int(pm.Nmesh[0])
+    cell = float(pm.BoxSize[0]) / nmesh
+    disp, vel = solver.lpt_lattice(dlin, a0=ainit, order=order)
+
+    # displacement bound: LPT amplitude grown linearly to afinal plus
+    # a 30% quasilinear margin (validated after the run)
+    pt = solver.cosmology
+    lo, hi = gridpm.displacement_bounds(disp)
+    grow = float(pt.D1(afinal)) / float(pt.D1(ainit))
+    margin = 1.3 * grow
+    bounds = (float(lo) * margin, float(hi) * margin)
+
+    spectra = []
+
+    def measure(a, disp):
+        rho = gridpm.paint_grid(disp, bounds=bounds,
+                                window=pm.resampler.window.kind)
+        field = pm.create(type='real', value=rho)
+        k, p, n = _fftpower(field, Nbins=nmesh // 4,
+                            remove_shotnoise=float(
+                                np.prod(pm.BoxSize)) / nmesh ** 3)
+        spectra.append((a, np.asarray(k), np.asarray(p)))
+        if monitor_print:
+            print("a = %.3f   P(k~%.3g) = %.5g" % (a, k[1], p[1]))
+        if output is not None:
+            _write_lattice_snapshot(output, a, disp, vel, cell,
+                                    np.asarray(k), np.asarray(p))
+
+    marks = sorted(set(list(snapshot_times) + [afinal]))
+    all_steps = np.linspace(ainit, afinal, steps, endpoint=True)
+    a0 = ainit
+    for am in marks:
+        seg = [a for a in all_steps if a0 - 1e-12 < a <= am + 1e-12]
+        seg = sorted(set([a0] + seg + [am]))
+        if len(seg) >= 2:
+            disp, vel = solver.nbody_lattice(disp, vel, seg, bounds)
+        measure(am, disp)
+        a0 = am
+
+    flo, fhi = gridpm.displacement_bounds(disp)
+    if float(flo) < bounds[0] or float(fhi) > bounds[1]:
+        import warnings
+        warnings.warn(
+            "final displacements [%.2f, %.2f] exceeded the static "
+            "bounds [%.2f, %.2f]; some mass was dropped — rerun with "
+            "lattice=False or a larger margin"
+            % (float(flo), float(fhi), bounds[0], bounds[1]))
+    return (disp, vel), spectra
+
+
+def _write_lattice_snapshot(output, a, disp, vel, cell, k, p):
+    os.makedirs(output, exist_ok=True)
+    fn = os.path.join(output, "snapshot_a%.4f.npz" % a)
+    n = disp[0].shape[0]
+    np.savez(fn, a=a,
+             DispX=np.asarray(disp[0]), DispY=np.asarray(disp[1]),
+             DispZ=np.asarray(disp[2]),
+             VelX=np.asarray(vel[0]), VelY=np.asarray(vel[1]),
+             VelZ=np.asarray(vel[2]), cell=cell, k=k, power=p)
+    print("wrote", fn)
 
 
 def _write_snapshot(output, a, state, k, p):
@@ -104,6 +183,8 @@ def main(argv=None):
     ap.add_argument("--snapshot-times", type=float, nargs='*',
                     default=[])
     ap.add_argument("--output", type=str, default=None)
+    ap.add_argument("--lattice", action='store_true',
+                    help="mesh-shaped fast path (requires --boost 1)")
     ns = ap.parse_args(argv)
 
     state, spectra = run_sim(
@@ -111,7 +192,8 @@ def main(argv=None):
         resampler=ns.resampler, seed=ns.seed, ainit=ns.ainit,
         afinal=ns.afinal, steps=ns.steps, order=ns.order,
         compat=ns.compat, dtype=ns.dtype,
-        snapshot_times=ns.snapshot_times, output=ns.output)
+        snapshot_times=ns.snapshot_times, output=ns.output,
+        lattice=ns.lattice)
     return state, spectra
 
 

@@ -39,6 +39,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fft3_real_forward", "fft3_real_inverse", "kvectors"]
 
+# 'float32' = 3-pass bf16 matmuls, f32-exact results (6e-8 vs
+# jnp.fft); 'default' = single-pass bf16, ~1.7x faster at ~1.6e-4
+# relative error — set per call via the `precision` argument
 _PREC = jax.lax.Precision('float32')
 
 
@@ -61,9 +64,9 @@ def _dft(n, sign):
     return jnp.asarray(Wr), jnp.asarray(Wi)
 
 
-def _mm(a, b):
+def _mm(a, b, prec=None):
     return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                   precision=_PREC)
+                   precision=_PREC if prec is None else prec)
 
 
 def _full_spec(shape):

@@ -81,3 +81,19 @@ def test_lic_smoke():
     r = lic([vx, vy], kernel=lambda s: 1.0 - abs(s), length=4.0, ds=1.0,
             resampler='linear')
     assert np.isfinite(np.asarray(r.value)).all()
+
+
+def test_gravpm_lattice_matches_generic():
+    """The lattice-path driver reproduces the generic driver's final
+    P(k) (same config, boost=1, cic)."""
+    from pmesh_tpu.models.gravpm import run_sim
+    kw = dict(nmesh=32, boxsize=128.0, boost=1, resampler='cic',
+              seed=7, ainit=0.2, afinal=0.4, steps=4, order=2,
+              compat='native', dtype='f8', monitor_print=False)
+    _, spec_g = run_sim(lattice=False, **kw)
+    _, spec_l = run_sim(lattice=True, **kw)
+    a_g, k_g, p_g = spec_g[-1]
+    a_l, k_l, p_l = spec_l[-1]
+    assert abs(a_g - a_l) < 1e-9
+    sel = np.isfinite(p_g) & np.isfinite(p_l) & (p_g > 0)
+    np.testing.assert_allclose(p_l[sel], p_g[sel], rtol=1e-3)
