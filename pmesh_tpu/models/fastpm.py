@@ -391,9 +391,7 @@ class Solver(object):
                           0.0)
         pr = r * invk2
         pi = i * invk2
-        return tuple(
-            fft_mxu.fft3_real_inverse(pr, pi, grad=d, kvec=kd[d])
-            for d in range(3))
+        return fft_mxu.fft3_real_inverse_grad3(pr, pi, kvecs=kd)
 
     def force_lattice(self, disp, bounds, factor=None, mode='spectral',
                       fft='xla'):

@@ -37,7 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fft3_real_forward", "fft3_real_inverse", "kvectors"]
+__all__ = ["fft3_real_forward", "fft3_real_inverse",
+           "fft3_real_inverse_grad3", "kvectors"]
 
 # 'float32' = 3-pass bf16 matmuls, f32-exact results (6e-8 vs
 # jnp.fft); 'default' = single-pass bf16, ~1.7x faster at ~1.6e-4
@@ -268,6 +269,66 @@ def fft3_real_inverse(r, i, grad=None, kvec=None):
         interpret=_interpret(),
     )(pr, pi, wzr, wzi, wyr, wyi)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=('kvecs',))
+def fft3_real_inverse_grad3(r, i, kvecs):
+    """the spectral force triple: (ifft(i kx s), ifft(i ky s),
+    ifft(i kz s)) for one spectrum s = (r, i), sharing work.
+
+    The y- and z-gradient components fold their i*k factor into the
+    PASS-1 matrices, so they share ONE unmodified x-axis pass —
+    5 pallas passes total instead of 6 for three separate inverses.
+    ``kvecs`` is a static tuple of 3 wavenumber tuples.
+    """
+    N0, N1, N2 = r.shape
+    wz = _dft_np(N2, +1)
+    wy = _dft_np(N1, +1)
+    wx = _dft_np(N0, +1)
+    wx_g = _fold_i_freq(*wx, kvecs[0], 'right')
+    wy_g = _fold_i_freq(*wy, kvecs[1], 'right')
+    wz_g = _fold_i_freq(*wz, kvecs[2], 'left')
+
+    BY, BZ = _pick_byz(N0, N1, N2)
+    BX = _pick_bx(N0, N1, N2)
+
+    def xpass(rr, ii, W):
+        return pl.pallas_call(
+            _x_transform(N0, BY, BZ, np.float32(1.0)),
+            grid=(N1 // BY, N2 // BZ),
+            in_specs=[_yzblock_spec(N0, BY, BZ),
+                      _yzblock_spec(N0, BY, BZ),
+                      _full_spec2((N0, N0)), _full_spec2((N0, N0))],
+            out_specs=(_yzblock_spec(N0, BY, BZ),
+                       _yzblock_spec(N0, BY, BZ)),
+            out_shape=(jax.ShapeDtypeStruct((N0, N1, N2), jnp.float32),
+                       jax.ShapeDtypeStruct((N0, N1, N2), jnp.float32)),
+            compiler_params=_params(),
+            interpret=_interpret(),
+        )(rr, ii, jnp.asarray(W[0]), jnp.asarray(W[1]))
+
+    def zypass(rr, ii, Wz, Wy):
+        return pl.pallas_call(
+            _zy_inverse_to_real(BX, N1, N2, np.float32(1.0)),
+            grid=(N0 // BX,),
+            in_specs=[_xplane_spec(N1, N2, BX), _xplane_spec(N1, N2, BX),
+                      _full_spec((N2, N2)), _full_spec((N2, N2)),
+                      _full_spec((N1, N1)), _full_spec((N1, N1))],
+            out_specs=_xplane_spec(N1, N2, BX),
+            out_shape=jax.ShapeDtypeStruct((N0, N1, N2), jnp.float32),
+            compiler_params=_params(),
+            interpret=_interpret(),
+        )(rr, ii, jnp.asarray(Wz[0]), jnp.asarray(Wz[1]),
+          jnp.asarray(Wy[0]), jnp.asarray(Wy[1]))
+
+    # shared plain x-pass for the y and z components
+    sr, si = xpass(r, i, wx)
+    fy = zypass(sr, si, wz, wy_g)
+    fz = zypass(sr, si, wz_g, wy)
+    # the x component needs its own folded x-pass
+    gr, gi = xpass(r, i, wx_g)
+    fx = zypass(gr, gi, wz, wy)
+    return fx, fy, fz
 
 
 def kvectors(shape, BoxSize):

@@ -53,3 +53,16 @@ def test_force_lattice_mxu_matches_xla():
     for d in range(3):
         a, b = np.asarray(Fx[d]), np.asarray(Fm[d])
         assert np.abs(a - b).max() < 1e-6 * max(1.0, np.abs(a).max())
+
+
+def test_grad3_matches_separate():
+    x = np.random.RandomState(4).normal(size=(8, 8, 128)).astype('f4')
+    r, i = fft_mxu.fft3_real_forward(jnp.asarray(x))
+    kvecs = tuple(tuple((np.fft.fftfreq(n) * 2 * np.pi)
+                        .astype('f4').tolist())
+                  for n in (8, 8, 128))
+    fx, fy, fz = fft_mxu.fft3_real_inverse_grad3(r, i, kvecs=kvecs)
+    for d, got in enumerate((fx, fy, fz)):
+        one = fft_mxu.fft3_real_inverse(r, i, grad=d, kvec=kvecs[d])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(one),
+                                   atol=1e-6)
