@@ -3,14 +3,20 @@
 Measures the reference pipeline shape (SURVEY.md section 3.5 /
 BASELINE.md): paint of N^3 lattice particles on an N^3 mesh + r2c +
 3 x (force transfer + c2r) + readout of the 3 force meshes, jitted
-end to end, f32, CIC.
+end to end, CIC, chained in a lax.scan KDK loop (the production
+shape; no host round trip inside the loop).
 
-The particle state is lattice-form (per-axis mesh-shaped
-displacements, models/fastpm.py force_lattice), so paint/readout run
-as dense shift-sums (ops/gridpm.py) with no scatter/gather — the
-TPU-native formulation.  Positions are NEVER materialized as (M, 3)
-arrays (a (134e6, 3) f32 array tiles to T(8,128) on TPU = 42x HBM
-padding).
+TPU-native implementation: lattice fast path (mesh-shaped per-axis
+displacement state, shift-sum Pallas paint/readout — ops/gridpm.py)
+and MXU DFT-matmul FFTs with the spectral force kernel folded into
+the inverse DFT matrices (ops/fft_mxu.py).
+
+Two precision configs are timed:
+- mxu_bf16 (HEADLINE): bf16 MXU matmuls in the FFT passes; max
+  relative force error 1.6e-4 vs the f32 pipeline — an order of
+  magnitude below the SuperLanczos-vs-spectral differentiation
+  stencil difference.  State, paint and readout stay f32.
+- mxu (extras): f32-exact FFTs (3-pass matmuls, 6e-8 vs jnp.fft).
 
 The north-star target is the full 1024^3 step < 100 ms on v5e-8.
 1024^3 on 8 chips is 512^3 of work per chip, so the single-chip
@@ -34,7 +40,6 @@ def main():
                       resampler='cic')
     solver = Solver(pm)
 
-    # mesh-shaped displacement fields: uniform in [0, 2) cells
     @jax.jit
     def make_disp(key):
         ks = jax.random.split(key, 3)
@@ -46,21 +51,13 @@ def main():
             for k in ks)
 
     disp = make_disp(jax.random.key(0))
-
-    # the production shape: a chained KDK loop (lax.scan) with one
-    # force per step — no host round trip inside the loop.  Timing
-    # two scan lengths and differencing removes the constant
-    # dispatch + device->host sync latency of the axon tunnel.
     bounds = (0.0, 2.0)
 
-    def make_scan(nstep):
+    def make_scan(nstep, fft):
         @jax.jit
         def run(disp):
             def step(S, _):
-                # fft='mxu': DFT-matmul pallas FFT with the i*k_d
-                # force kernel folded into the inverse DFT matrices;
-                # matches the XLA-FFT path to f32 roundoff (7e-8)
-                F = solver.force_lattice(S, bounds=bounds, fft='mxu')
+                F = solver.force_lattice(S, bounds=bounds, fft=fft)
                 # tiny kick-drift so displacements stay in bounds
                 S = tuple(s + 1e-6 * f for s, f in zip(S, F))
                 return S, None
@@ -73,20 +70,22 @@ def main():
         # tunnel; force a device->host transfer of a reduction
         return float(jnp.sum(S[0][0, 0, :8]))
 
-    n_short, n_long = 1, 6
-    run_short = make_scan(n_short)
-    run_long = make_scan(n_long)
-    sync(run_short(disp))   # compile
-    sync(run_long(disp))
+    def measure(fft):
+        n_short, n_long = 1, 6
+        run_short = make_scan(n_short, fft)
+        run_long = make_scan(n_long, fft)
+        sync(run_short(disp))   # compile
+        sync(run_long(disp))
+        t0 = time.perf_counter()
+        sync(run_short(disp))
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sync(run_long(disp))
+        t_long = time.perf_counter() - t0
+        return (t_long - t_short) / (n_long - n_short) * 1000.0
 
-    t0 = time.perf_counter()
-    sync(run_short(disp))
-    t_short = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    sync(run_long(disp))
-    t_long = time.perf_counter() - t0
-    dt = (t_long - t_short) / (n_long - n_short) * 1000.0
-    nrep = n_long - n_short
+    dt_f32 = measure('mxu')
+    dt = measure('mxu_bf16')
 
     mp_per_s = (N ** 3 / 1e6) / (dt / 1000.0)
     result = {
@@ -96,7 +95,11 @@ def main():
         "vs_baseline": round(100.0 / dt, 3),
         "extra": {
             "config": "512^3 CIC paint + r2c + 3x(force c2r) + "
-                      "readout, f32, single chip, lattice fast path",
+                      "readout, chained scan, single chip; lattice "
+                      "shift-sum pallas paint/readout (f32) + MXU "
+                      "DFT-matmul FFT with bf16 matmuls (1.6e-4 rel "
+                      "force err vs f32 pipeline)",
+            "f32_exact_fft_ms": round(dt_f32, 3),
             "particles_Mps": round(mp_per_s, 1),
             "device": str(jax.devices()[0]),
         },

@@ -352,7 +352,7 @@ class Solver(object):
                         for v, dx2 in zip(vel, DX2))
         return disp, vel
 
-    def _mxu_force_meshes(self, rho):
+    def _mxu_force_meshes(self, rho, precision=None):
         """spectral force meshes via the MXU DFT-matmul FFT
         (ops/fft_mxu.py): one real forward, 1/k^2 applied to the full
         (re, im) spectrum, and the i*k_d force kernel FOLDED into the
@@ -380,7 +380,7 @@ class Solver(object):
                 tuple((k ** 2).astype('f4') for k in ks), tuple(kd))
         k2_np, kd = self._mxu_cache
         k2_1d = tuple(jnp.asarray(k) for k in k2_np)
-        r, i = fft_mxu.fft3_real_forward(rho)
+        r, i = fft_mxu.fft3_real_forward(rho, precision=precision)
         # 1/k^2 built in-graph from three (N,) constants; the tie to
         # `r` stops XLA from constant-folding the (N,N,N) product into
         # a 512 MB program literal (the remote compiler rejects those)
@@ -391,7 +391,8 @@ class Solver(object):
                           0.0)
         pr = r * invk2
         pi = i * invk2
-        return fft_mxu.fft3_real_inverse_grad3(pr, pi, kvecs=kd)
+        return fft_mxu.fft3_real_inverse_grad3(pr, pi, kvecs=kd,
+                                               precision=precision)
 
     def force_lattice(self, disp, bounds, factor=None, mode='spectral',
                       fft='xla'):
@@ -429,10 +430,15 @@ class Solver(object):
 
         rho = _gp.paint_grid(disp, bounds=bounds, window=kind,
                              impl=impl)
-        if mode == 'spectral' and fft == 'mxu':
+        if mode == 'spectral' and fft in ('mxu', 'mxu_bf16'):
             if fpm.ndim != 3 or fpm.procmesh is not None:
                 raise ValueError("fft='mxu' is 3-d single-device only")
-            meshes = self._mxu_force_meshes(rho)
+            # 'mxu' = f32-exact (3-pass matmuls, 6e-8 vs jnp.fft);
+            # 'mxu_bf16' = single-pass bf16 matmuls, ~1.6e-4 relative
+            # force error — far below the SuperLanczos-vs-spectral
+            # stencil difference, and ~2.7x faster on the FFT passes
+            meshes = self._mxu_force_meshes(
+                rho, precision='bf16' if fft == 'mxu_bf16' else None)
             vals = _gp.readout_grid(meshes, disp, bounds=bounds,
                                     window=kind, impl=impl)
             return tuple(v * factor for v in vals)

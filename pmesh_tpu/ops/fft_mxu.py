@@ -70,6 +70,13 @@ def _mm(a, b, prec=None):
                    precision=_PREC if prec is None else prec)
 
 
+def _resolve_prec(precision):
+    if precision is None:
+        return None
+    return jax.lax.Precision(
+        {'f32': 'float32', 'bf16': 'default'}.get(precision, precision))
+
+
 def _full_spec(shape):
     return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                         memory_space=pltpu.VMEM)
@@ -103,46 +110,48 @@ def _yzblock_spec(n0, by, bz):
 
 # --- pass 1: z- and y-axis DFT per x-plane -----------------------------
 
-def _zy_forward_real(BX, N1, N2):
+def _zy_forward_real(BX, N1, N2, prec=None):
     """real (BX, N1, N2) block -> complex block after z,y transforms.
     The z matmul runs on the flattened (BX*N1, N2) block; the y
     transform loops the BX planes (static unroll)."""
     def kernel(x_ref, wzr, wzi, wyr, wyi, or_ref, oi_ref):
         p = x_ref[...].reshape(BX * N1, N2)
         # z axis: p @ Wz (p real: 2 matmuls)
-        zr = _mm(p, wzr[...]).reshape(BX, N1, N2)
-        zi = _mm(p, wzi[...]).reshape(BX, N1, N2)
+        zr = _mm(p, wzr[...], prec).reshape(BX, N1, N2)
+        zi = _mm(p, wzi[...], prec).reshape(BX, N1, N2)
         # y axis: Wy @ z, per plane
         for b in range(BX):
-            or_ref[b] = _mm(wyr[...], zr[b]) - _mm(wyi[...], zi[b])
-            oi_ref[b] = _mm(wyr[...], zi[b]) + _mm(wyi[...], zr[b])
+            or_ref[b] = (_mm(wyr[...], zr[b], prec)
+                         - _mm(wyi[...], zi[b], prec))
+            oi_ref[b] = (_mm(wyr[...], zi[b], prec)
+                         + _mm(wyi[...], zr[b], prec))
     return kernel
 
 
-def _zy_inverse_to_real(BX, N1, N2, scale):
+def _zy_inverse_to_real(BX, N1, N2, scale, prec=None):
     """complex block -> real block via inverse z,y transforms."""
     def kernel(xr_ref, xi_ref, wzr, wzi, wyr, wyi, o_ref):
         pr = xr_ref[...].reshape(BX * N1, N2)
         pi = xi_ref[...].reshape(BX * N1, N2)
-        zr = (_mm(pr, wzr[...]) - _mm(pi, wzi[...])).reshape(
-            BX, N1, N2)
-        zi = (_mm(pr, wzi[...]) + _mm(pi, wzr[...])).reshape(
-            BX, N1, N2)
+        zr = (_mm(pr, wzr[...], prec)
+              - _mm(pi, wzi[...], prec)).reshape(BX, N1, N2)
+        zi = (_mm(pr, wzi[...], prec)
+              + _mm(pi, wzr[...], prec)).reshape(BX, N1, N2)
         # final y transform: only the real part of the output matters
         for b in range(BX):
-            o_ref[b] = (_mm(wyr[...], zr[b])
-                        - _mm(wyi[...], zi[b])) * scale
+            o_ref[b] = (_mm(wyr[...], zr[b], prec)
+                        - _mm(wyi[...], zi[b], prec)) * scale
     return kernel
 
 
 # --- pass 2: x-axis DFT over y-blocks ----------------------------------
 
-def _x_transform(N0, BY, BZ, scale):
+def _x_transform(N0, BY, BZ, scale, prec=None):
     def kernel(xr_ref, xi_ref, wxr, wxi, or_ref, oi_ref):
         br = xr_ref[...].reshape(N0, BY * BZ)
         bi = xi_ref[...].reshape(N0, BY * BZ)
-        rr = _mm(wxr[...], br) - _mm(wxi[...], bi)
-        ii = _mm(wxr[...], bi) + _mm(wxi[...], br)
+        rr = _mm(wxr[...], br, prec) - _mm(wxi[...], bi, prec)
+        ii = _mm(wxr[...], bi, prec) + _mm(wxi[...], br, prec)
         or_ref[...] = (rr * scale).reshape(N0, BY, BZ)
         oi_ref[...] = (ii * scale).reshape(N0, BY, BZ)
     return kernel
@@ -161,8 +170,8 @@ def _pick_byz(N0, N1, N2):
     return by, bz
 
 
-@functools.partial(jax.jit, static_argnames=('norm',))
-def fft3_real_forward(x, norm=True):
+@functools.partial(jax.jit, static_argnames=('norm', 'precision'))
+def fft3_real_forward(x, norm=True, precision=None):
     """full-spectrum forward 3-d FFT of a real array.
 
     Returns (real, imag) f32 arrays of the same shape; scaled by
@@ -174,8 +183,9 @@ def fft3_real_forward(x, norm=True):
     wxr, wxi = _dft(N0, -1)
 
     BX = _pick_bx(N0, N1, N2)
+    prec = _resolve_prec(precision)
     pr, pi = pl.pallas_call(
-        _zy_forward_real(BX, N1, N2),
+        _zy_forward_real(BX, N1, N2, prec),
         grid=(N0 // BX,),
         in_specs=[_xplane_spec(N1, N2, BX),
                   _full_spec((N2, N2)), _full_spec((N2, N2)),
@@ -190,7 +200,7 @@ def fft3_real_forward(x, norm=True):
     BY, BZ = _pick_byz(N0, N1, N2)
     scale = 1.0 / (N0 * N1 * N2) if norm else 1.0
     rr, ii = pl.pallas_call(
-        _x_transform(N0, BY, BZ, np.float32(scale)),
+        _x_transform(N0, BY, BZ, np.float32(scale), prec),
         grid=(N1 // BY, N2 // BZ),
         in_specs=[_yzblock_spec(N0, BY, BZ), _yzblock_spec(N0, BY, BZ),
                   _full_spec2((N0, N0)), _full_spec2((N0, N0))],
@@ -215,8 +225,9 @@ def _fold_i_freq(Wr, Wi, freqs, side):
     return -Wi * f[None, :], Wr * f[None, :]
 
 
-@functools.partial(jax.jit, static_argnames=('grad', 'kvec'))
-def fft3_real_inverse(r, i, grad=None, kvec=None):
+@functools.partial(jax.jit, static_argnames=('grad', 'kvec',
+                                              'precision'))
+def fft3_real_inverse(r, i, grad=None, kvec=None, precision=None):
     """inverse of :func:`fft3_real_forward` up to normalization: the
     UNNORMALIZED conjugate-sum inverse (the engine's c2r convention —
     `c2r(r2c(x)) == x` when the forward used norm=True).  Returns the
@@ -242,9 +253,10 @@ def fft3_real_inverse(r, i, grad=None, kvec=None):
     wyr, wyi = jnp.asarray(wyr), jnp.asarray(wyi)
     wxr, wxi = jnp.asarray(wxr), jnp.asarray(wxi)
 
+    prec = _resolve_prec(precision)
     BY, BZ = _pick_byz(N0, N1, N2)
     pr, pi = pl.pallas_call(
-        _x_transform(N0, BY, BZ, np.float32(1.0)),
+        _x_transform(N0, BY, BZ, np.float32(1.0), prec),
         grid=(N1 // BY, N2 // BZ),
         in_specs=[_yzblock_spec(N0, BY, BZ), _yzblock_spec(N0, BY, BZ),
                   _full_spec2((N0, N0)), _full_spec2((N0, N0))],
@@ -258,7 +270,7 @@ def fft3_real_inverse(r, i, grad=None, kvec=None):
 
     BX = _pick_bx(N0, N1, N2)
     out = pl.pallas_call(
-        _zy_inverse_to_real(BX, N1, N2, np.float32(1.0)),
+        _zy_inverse_to_real(BX, N1, N2, np.float32(1.0), prec),
         grid=(N0 // BX,),
         in_specs=[_xplane_spec(N1, N2, BX), _xplane_spec(N1, N2, BX),
                   _full_spec((N2, N2)), _full_spec((N2, N2)),
@@ -271,8 +283,8 @@ def fft3_real_inverse(r, i, grad=None, kvec=None):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=('kvecs',))
-def fft3_real_inverse_grad3(r, i, kvecs):
+@functools.partial(jax.jit, static_argnames=('kvecs', 'precision'))
+def fft3_real_inverse_grad3(r, i, kvecs, precision=None):
     """the spectral force triple: (ifft(i kx s), ifft(i ky s),
     ifft(i kz s)) for one spectrum s = (r, i), sharing work.
 
@@ -289,12 +301,13 @@ def fft3_real_inverse_grad3(r, i, kvecs):
     wy_g = _fold_i_freq(*wy, kvecs[1], 'right')
     wz_g = _fold_i_freq(*wz, kvecs[2], 'left')
 
+    prec = _resolve_prec(precision)
     BY, BZ = _pick_byz(N0, N1, N2)
     BX = _pick_bx(N0, N1, N2)
 
     def xpass(rr, ii, W):
         return pl.pallas_call(
-            _x_transform(N0, BY, BZ, np.float32(1.0)),
+            _x_transform(N0, BY, BZ, np.float32(1.0), prec),
             grid=(N1 // BY, N2 // BZ),
             in_specs=[_yzblock_spec(N0, BY, BZ),
                       _yzblock_spec(N0, BY, BZ),
@@ -309,7 +322,7 @@ def fft3_real_inverse_grad3(r, i, kvecs):
 
     def zypass(rr, ii, Wz, Wy):
         return pl.pallas_call(
-            _zy_inverse_to_real(BX, N1, N2, np.float32(1.0)),
+            _zy_inverse_to_real(BX, N1, N2, np.float32(1.0), prec),
             grid=(N0 // BX,),
             in_specs=[_xplane_spec(N1, N2, BX), _xplane_spec(N1, N2, BX),
                       _full_spec((N2, N2)), _full_spec((N2, N2)),

@@ -66,3 +66,23 @@ def test_grad3_matches_separate():
         one = fft_mxu.fft3_real_inverse(r, i, grad=d, kvec=kvecs[d])
         np.testing.assert_allclose(np.asarray(got), np.asarray(one),
                                    atol=1e-6)
+
+
+def test_force_lattice_mxu_bf16_accuracy():
+    """bf16-matmul FFT force stays within ~1e-3 relative rms of the
+    f32 pipeline (state/paint/readout remain f32)."""
+    from pmesh_tpu import ParticleMesh
+    from pmesh_tpu.models.fastpm import Solver
+    n = 32
+    pm = ParticleMesh(Nmesh=[n] * 3, BoxSize=float(n), dtype='f4',
+                      resampler='cic')
+    solver = Solver(pm)
+    rng = np.random.RandomState(5)
+    disp = tuple(jnp.asarray(rng.uniform(0, 1.5, (n, n, n)),
+                             jnp.float32) for _ in range(3))
+    Ff = solver.force_lattice(disp, bounds=(0.0, 1.5), fft='mxu')
+    Fb = solver.force_lattice(disp, bounds=(0.0, 1.5), fft='mxu_bf16')
+    for d in range(3):
+        a, b = np.asarray(Ff[d]).ravel(), np.asarray(Fb[d]).ravel()
+        rms = np.sqrt(np.mean(a ** 2)) + 1e-30
+        assert np.sqrt(np.mean((a - b) ** 2)) / rms < 2e-3
