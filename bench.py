@@ -16,7 +16,8 @@ Two precision configs are timed:
   relative force error 1.6e-4 vs the f32 pipeline — an order of
   magnitude below the SuperLanczos-vs-spectral differentiation
   stencil difference.  State, paint and readout stay f32.
-- mxu (extras): f32-exact FFTs (3-pass matmuls, 6e-8 vs jnp.fft).
+- mxu (extras, 'f32_exact_step_ms' = the FULL step at this config):
+  f32-exact FFTs (3-pass matmuls, 6e-8 vs jnp.fft).
 
 The north-star target is the full 1024^3 step < 100 ms on v5e-8.
 1024^3 on 8 chips is 512^3 of work per chip, so the single-chip
@@ -99,7 +100,7 @@ def main():
                       "shift-sum pallas paint/readout (f32) + MXU "
                       "DFT-matmul FFT with bf16 matmuls (1.6e-4 rel "
                       "force err vs f32 pipeline)",
-            "f32_exact_fft_ms": round(dt_f32, 3),
+            "f32_exact_step_ms": round(dt_f32, 3),
             "particles_Mps": round(mp_per_s, 1),
             "device": str(jax.devices()[0]),
         },

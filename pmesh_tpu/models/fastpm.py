@@ -450,6 +450,11 @@ class Solver(object):
             vals = _gp.readout_grid(meshes, disp, bounds=bounds,
                                     window=kind, impl=impl)
         elif mode == 'gradient':
+            if fft != 'xla':
+                raise ValueError(
+                    "fft=%r is only available with mode='spectral'; "
+                    "the gradient mode needs a single potential c2r "
+                    "through the field API" % (fft,))
             # F_d = -d(phi)/dx_d; the diffdir readout returns the
             # derivative of the interpolation w.r.t. position in cell
             # units (see gridpm.readout_grid), so F_d = -readout_d/cell
@@ -466,7 +471,7 @@ class Solver(object):
 
     def nbody_lattice(self, disp, vel, time_steps, bounds,
                       factors='fastpm', scheme='symp2',
-                      force_mode='spectral'):
+                      force_mode='spectral', fft='xla'):
         """KDK loop in lattice form: one jitted lax.scan, state =
         2*ndim mesh-shaped arrays.  ``vel`` and the kick are in the
         same cell units as ``disp``."""
@@ -476,7 +481,8 @@ class Solver(object):
         cell = float(self.pm.BoxSize[0] / self.pm.Nmesh[0])
 
         def force_cells(disp):
-            F = self.force_lattice(disp, bounds, mode=force_mode)
+            F = self.force_lattice(disp, bounds, mode=force_mode,
+                                   fft=fft)
             return tuple(f / cell for f in F)
 
         def step(carry, coeffs):

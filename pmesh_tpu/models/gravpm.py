@@ -29,14 +29,20 @@ def run_sim(nmesh=64, boxsize=256.0, boost=2, resampler='tsc',
             seed=120577, ainit=0.1, afinal=1.0, steps=10, order=2,
             unitary=True, compat='native', dtype='f8',
             snapshot_times=(), output=None, monitor_print=True,
-            procmesh=None, lattice=False):
+            procmesh=None, lattice=False, fft='xla'):
     """Run the full IC -> N-body -> P(k) pipeline; returns the final
     state and the list of measured spectra.
 
     lattice=True uses the mesh-shaped fast path (ops/gridpm.py):
     requires boost=1; displacement bounds are estimated from the LPT
-    amplitude scaled by linear growth to afinal with a 2x margin.
+    amplitude scaled by linear growth to afinal with a 30% margin
+    (validated after the run).  fft selects the transform backend for
+    the lattice force ('xla', 'mxu', 'mxu_bf16'; see
+    Solver.force_lattice).
     """
+    if lattice and boost != 1:
+        raise ValueError("lattice=True requires boost=1 (the force "
+                         "mesh must equal the particle lattice)")
     pm = ParticleMesh(BoxSize=boxsize, Nmesh=[nmesh] * 3,
                       resampler=resampler, dtype=dtype,
                       procmesh=procmesh)
@@ -48,7 +54,7 @@ def run_sim(nmesh=64, boxsize=256.0, boost=2, resampler='tsc',
     if lattice:
         return _run_lattice(pm, solver, dlin, ainit, afinal, steps,
                             order, snapshot_times, output,
-                            monitor_print)
+                            monitor_print, fft)
     state = solver.lpt(dlin, a0=ainit, order=order, shift=0.0)
 
     time_steps = np.linspace(ainit, afinal, steps, endpoint=True)
@@ -81,7 +87,7 @@ def run_sim(nmesh=64, boxsize=256.0, boost=2, resampler='tsc',
 
 
 def _run_lattice(pm, solver, dlin, ainit, afinal, steps, order,
-                 snapshot_times, output, monitor_print):
+                 snapshot_times, output, monitor_print, fft='xla'):
     """The lattice-form run: mesh-shaped SoA state, shift-sum
     paint/readout, snapshots via segmented nbody_lattice calls."""
     import jax
@@ -92,19 +98,25 @@ def _run_lattice(pm, solver, dlin, ainit, afinal, steps, order,
     cell = float(pm.BoxSize[0]) / nmesh
     disp, vel = solver.lpt_lattice(dlin, a0=ainit, order=order)
 
-    # displacement bound: LPT amplitude grown linearly to afinal plus
-    # a 30% quasilinear margin (validated after the run)
+    # displacement bound: the LPT amplitude grown linearly to afinal
+    # plus a 30% quasilinear margin (validated after the run).  Use
+    # the symmetric amplitude so a one-sided initial distribution
+    # (e.g. all-positive displacements) still widens in BOTH
+    # directions instead of shrinking the near-zero side.
     pt = solver.cosmology
     lo, hi = gridpm.displacement_bounds(disp)
     grow = float(pt.D1(afinal)) / float(pt.D1(ainit))
-    margin = 1.3 * grow
-    bounds = (float(lo) * margin, float(hi) * margin)
+    amp = max(abs(float(lo)), abs(float(hi))) * 1.3 * grow
+    bounds = (min(float(lo), -amp), max(float(hi), amp))
 
     spectra = []
 
+    impl = 'xla' if pm.procmesh is not None else None
+
     def measure(a, disp):
         rho = gridpm.paint_grid(disp, bounds=bounds,
-                                window=pm.resampler.window.kind)
+                                window=pm.resampler.window.kind,
+                                impl=impl)
         field = pm.create(type='real', value=rho)
         k, p, n = _fftpower(field, Nbins=nmesh // 4,
                             remove_shotnoise=float(
@@ -116,14 +128,18 @@ def _run_lattice(pm, solver, dlin, ainit, afinal, steps, order,
             _write_lattice_snapshot(output, a, disp, vel, cell,
                                     np.asarray(k), np.asarray(p))
 
-    marks = sorted(set(list(snapshot_times) + [afinal]))
+    # snapshot marks outside (ainit, afinal] cannot be reached by a
+    # forward integration from ainit — ignore them
+    marks = sorted(set(
+        [t for t in snapshot_times if ainit < t <= afinal] + [afinal]))
     all_steps = np.linspace(ainit, afinal, steps, endpoint=True)
     a0 = ainit
     for am in marks:
         seg = [a for a in all_steps if a0 - 1e-12 < a <= am + 1e-12]
         seg = sorted(set([a0] + seg + [am]))
         if len(seg) >= 2:
-            disp, vel = solver.nbody_lattice(disp, vel, seg, bounds)
+            disp, vel = solver.nbody_lattice(disp, vel, seg, bounds,
+                                             fft=fft)
         measure(am, disp)
         a0 = am
 
@@ -185,6 +201,9 @@ def main(argv=None):
     ap.add_argument("--output", type=str, default=None)
     ap.add_argument("--lattice", action='store_true',
                     help="mesh-shaped fast path (requires --boost 1)")
+    ap.add_argument("--fft", type=str, default='xla',
+                    choices=['xla', 'mxu', 'mxu_bf16'],
+                    help="transform backend for the lattice force")
     ns = ap.parse_args(argv)
 
     state, spectra = run_sim(
@@ -193,7 +212,7 @@ def main(argv=None):
         afinal=ns.afinal, steps=ns.steps, order=ns.order,
         compat=ns.compat, dtype=ns.dtype,
         snapshot_times=ns.snapshot_times, output=ns.output,
-        lattice=ns.lattice)
+        lattice=ns.lattice, fft=ns.fft)
     return state, spectra
 
 

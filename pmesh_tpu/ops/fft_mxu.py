@@ -239,6 +239,9 @@ def fft3_real_inverse(r, i, grad=None, kvec=None, precision=None):
     (the PM force kernel, examples/nbody.py:162-169 with order=0).
     ``kvec`` is a static TUPLE of the wavenumbers for that axis.
     """
+    if grad is not None and kvec is None:
+        raise ValueError("grad=%r needs kvec (a static tuple of the "
+                         "wavenumbers along that axis)" % (grad,))
     N0, N1, N2 = r.shape
     wzr, wzi = _dft_np(N2, +1)
     wyr, wyi = _dft_np(N1, +1)

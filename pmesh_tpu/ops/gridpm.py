@@ -286,9 +286,13 @@ def readout_grid(mesh, disp, bounds=(0.0, 1.0), window='cic',
     (the reference's gradient windows, _window_imp.c diff kernels):
     the returned value equals the derivative of the interpolated
     field with respect to the particle position along that axis (in
-    CELL units), matching ops/paint.py's diffdir convention.  Like
-    the reference (pm.py:823), gradients OF a diffdir readout go
-    through plain autodiff, not the custom VJP.
+    CELL units), matching ops/paint.py's diffdir convention.
+
+    Differentiating THROUGH a diffdir readout (gradient-of-gradient,
+    which the reference refuses outright, pm.py:823) works only on
+    the XLA implementation — pass ``impl='xla'``; the pallas kernels
+    have no autodiff rule, so on TPU the default would raise at
+    trace time.
     """
     single = not isinstance(mesh, (tuple, list))
     meshes = (mesh,) if single else tuple(mesh)

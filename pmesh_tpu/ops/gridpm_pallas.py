@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .kernels import find_window
 
-__all__ = ["readout_fused", "readout_fused_multi", "paint_fused"]
+__all__ = ["readout_fused", "paint_fused"]
 
 
 def _shift2(x, vy, vz):
@@ -135,11 +135,11 @@ def readout_fused(mesh, disp, vmin, vmax, window, diffdir=None):
                                 window, diffdir, 1)[0]
 
 
-def readout_fused_multi(meshes, disp, vmin, vmax, window,
-                        diffdir=None):
-    meshes = tuple(meshes)
-    return _readout_fused_multi(meshes, tuple(disp), vmin, vmax,
-                                window, diffdir, len(meshes))
+# NOTE: batching several meshes into one kernel (nmesh > 1) measured
+# SLOWER than per-mesh calls on v5e (larger VMEM working set pipelines
+# worse), so only the nmesh=1 wrapper is public; the multi-mesh body
+# is kept because it is the natural generalization and documents the
+# trade-off.
 
 
 @functools.partial(jax.jit, static_argnames=(
