@@ -146,47 +146,66 @@ def readout_fused(mesh, disp, vmin, vmax, window, diffdir=None):
     'vmin', 'vmax', 'window', 'diffdir', 'scalar_mass'))
 def paint_fused(disp, mass, vmin, vmax, window, diffdir=None,
                 scalar_mass=True):
-    """sum_v roll(prod_d K(v_d - s_d) * mass, v): lattice paint."""
+    """sum_v roll(prod_d K(v_d - s_d) * mass, v): lattice paint in ONE
+    fused pass.
+
+    Gather form: output plane p pulls from source planes p - vx for
+    vx in [vmin, vmax], via one sliding BlockSpec per x-offset on the
+    (wrap-extended) displacement/mass arrays — ~3*nv+1 pipelined
+    plane refs, fine under the raised VMEM limit."""
     win = find_window(window)
+    nv = vmax - vmin + 1
     N0, N1, N2 = disp[0].shape
     dtype = disp[0].dtype
-    margs = () if scalar_mass else (mass,)
 
-    def make_kernel(vx):
-        def kernel(sxr, syr, szr, *rest):
-            oref = rest[-1]
-            sx = sxr[0]
-            sy = syr[0]
-            sz = szr[0]
+    # source plane for output p at x-offset vx is p - vx: window rows
+    # p - vmax ... p - vmin; ext[r] = a[(r - vmax) % N0] so window
+    # slot dx at block p reads a[p + dx - vmax], i.e. dx = vmax - vx
+    def ext(a):
+        base = jnp.roll(a, vmax, 0)
+        return (jnp.concatenate([base, base[:nv - 1]], 0)
+                if nv > 1 else base)
+
+    arrays = [ext(s) for s in disp]
+    if not scalar_mass:
+        arrays.append(ext(mass))
+    narr = len(arrays)
+
+    def kernel(*refs):
+        orefs = refs[-1]
+        acc = jnp.zeros((N1, N2), dtype)
+        for vx in range(vmin, vmax + 1):
+            slot = vmax - vx
+            sx = refs[slot][0]
+            sy = refs[nv + slot][0]
+            sz = refs[2 * nv + slot][0]
             kx = _axis_k(win, diffdir == 0, vx, sx).astype(dtype)
             if not scalar_mass:
-                kx = kx * rest[0][0]
-            acc = jnp.zeros((N1, N2), dtype)
+                kx = kx * refs[3 * nv + slot][0]
             for vy in range(vmin, vmax + 1):
                 wxy = kx * _axis_k(win, diffdir == 1, vy, sy).astype(
                     dtype)
                 for vz in range(vmin, vmax + 1):
-                    c = wxy * _axis_k(win, diffdir == 2, vz, sz).astype(
-                        dtype)
+                    c = wxy * _axis_k(win, diffdir == 2, vz,
+                                      sz).astype(dtype)
                     # placed at p = q + v: result[p] = c[p - v]
                     acc = acc + _shift2(c, -vy, -vz)
-            oref[0] = acc
-        return kernel
+        orefs[0] = acc
 
-    nspec = 3 + (0 if scalar_mass else 1)
-    out = None
-    for vx in range(vmin, vmax + 1):
-        partial = pl.pallas_call(
-            make_kernel(vx),
-            grid=(N0,),
-            in_specs=[_plane_spec(N1, N2)] * nspec,
-            out_specs=_plane_spec(N1, N2),
-            out_shape=jax.ShapeDtypeStruct((N0, N1, N2), dtype),
-            compiler_params=_params(),
-            interpret=_interpret(),
-        )(disp[0], disp[1], disp[2], *margs)
-        partial = jnp.roll(partial, vx, 0)
-        out = partial if out is None else out + partial
+    in_specs = [_plane_spec(N1, N2, dx)
+                for _ in range(narr) for dx in range(nv)]
+    args = []
+    for a in arrays:
+        args.extend([a] * nv)
+    out = pl.pallas_call(
+        kernel,
+        grid=(N0,),
+        in_specs=in_specs,
+        out_specs=_plane_spec(N1, N2),
+        out_shape=jax.ShapeDtypeStruct((N0, N1, N2), dtype),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(*args)
     if scalar_mass:
         out = out * jnp.asarray(mass, dtype)
     return out

@@ -135,6 +135,24 @@ class _WindowNamespace(dict):
         except KeyError:
             return False
 
+    # iteration/len enumerate every AVAILABLE window (the reference's
+    # eager dict has 24 entries, window.py:230-255); construction
+    # stays lazy
+    def _names(self):
+        return [n.lower() for n in _ALL_NAMES]
+
+    def __iter__(self):
+        return iter(self._names())
+
+    def __len__(self):
+        return len(self._names())
+
+    def keys(self):
+        return self._names()
+
+    def items(self):
+        return [(k, self[k]) for k in self._names()]
+
 
 windows = _WindowNamespace()
 
