@@ -97,3 +97,28 @@ def test_gravpm_lattice_matches_generic():
     assert abs(a_g - a_l) < 1e-9
     sel = np.isfinite(p_g) & np.isfinite(p_l) & (p_g > 0)
     np.testing.assert_allclose(p_l[sel], p_g[sel], rtol=1e-3)
+
+
+def test_linear_growth_end_to_end():
+    """Physics regression: large-scale power grows as D^2(a) through
+    the full lattice pipeline (2LPT ICs -> 12-step KDK -> P(k))."""
+    from pmesh_tpu.models.gravpm import run_sim
+    from pmesh_tpu.models.cosmology import Planck15
+
+    nmesh, box = 64, 512.0
+    (_, spectra) = run_sim(
+        nmesh=nmesh, boxsize=box, boost=1, resampler='cic', seed=42,
+        ainit=0.1, afinal=1.0, steps=12, order=2, compat='native',
+        dtype='f8', monitor_print=False, lattice=True,
+        snapshot_times=[0.1001])
+    a0, k0, p0 = spectra[0]
+    a1, k1, p1 = spectra[-1]
+    assert abs(a1 - 1.0) < 1e-9
+    # lattice particles carry no Poisson shot noise; undo the
+    # subtracted convention term before taking the ratio
+    SN = box ** 3 / nmesh ** 3
+    D2 = (Planck15.D1(1.0) / Planck15.D1(a0)) ** 2
+    sel = (k0 > 0) & (k0 < 0.06)
+    ratio = (p1[sel] + SN) / (p0[sel] + SN)
+    # a few % from nonlinear growth and stepping error
+    np.testing.assert_allclose(ratio, D2, rtol=0.05)
