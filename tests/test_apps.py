@@ -108,7 +108,7 @@ def test_linear_growth_end_to_end():
     nmesh, box = 64, 512.0
     (_, spectra) = run_sim(
         nmesh=nmesh, boxsize=box, boost=1, resampler='cic', seed=42,
-        ainit=0.1, afinal=1.0, steps=12, order=2, compat='native',
+        ainit=0.1, afinal=1.0, steps=5, order=2, compat='native',
         dtype='f8', monitor_print=False, lattice=True,
         snapshot_times=[0.1001])
     a0, k0, p0 = spectra[0]
