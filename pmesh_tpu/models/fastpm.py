@@ -208,10 +208,11 @@ class Solver(object):
                     return v * k[a] * k[b] / k2
                 return dlinear.apply(filt).c2r().value
 
+            diag = [phi_ab(d, d) for d in range(3)]
             src = 0.0
             for a in range(3):
                 for b in range(a + 1, 3):
-                    src = src + (phi_ab(a, a) * phi_ab(b, b)
+                    src = src + (diag[a] * diag[b]
                                  - phi_ab(a, b) ** 2)
             source2 = pm.create(type=RealField, value=src).r2c()
             DX2 = jnp.stack([
@@ -269,8 +270,11 @@ class Solver(object):
         if factor is None:
             factor = 1.5 * self.cosmology.Om0
 
+        # cache keyed by the particle count: the jitted closures bake
+        # the density normalization N into the trace
         if not hasattr(self, '_staged_fns'):
-            scalefac = None
+            self._staged_fns = {}
+        if N not in self._staged_fns:
 
             @jax.jit
             def stage_paint(X):
@@ -291,10 +295,10 @@ class Solver(object):
                         period=a.period)
                 return stage_dir
 
-            self._staged_fns = (stage_paint,
-                                [make_dir(d) for d in range(fpm.ndim)])
+            self._staged_fns[N] = (
+                stage_paint, [make_dir(d) for d in range(fpm.ndim)])
 
-        stage_paint, stage_dirs = self._staged_fns
+        stage_paint, stage_dirs = self._staged_fns[N]
         rhok_value = stage_paint(X)
         cols = [fn(rhok_value, X) for fn in stage_dirs]
         return jnp.stack(cols, axis=-1) * factor
@@ -336,10 +340,11 @@ class Solver(object):
                     return v * k[a] * k[b] / k2
                 return dlinear.apply(filt).c2r().value
 
+            diag = [phi_ab(d, d) for d in range(3)]
             src = 0.0
             for a in range(3):
                 for b in range(a + 1, 3):
-                    src = src + (phi_ab(a, a) * phi_ab(b, b)
+                    src = src + (diag[a] * diag[b]
                                  - phi_ab(a, b) ** 2)
             source2 = pm.create(type=RealField, value=src).r2c()
             DX2 = tuple(
@@ -500,7 +505,20 @@ class Solver(object):
             (S, V, F), _ = jax.lax.scan(step, (S, V, F), (K1, D1s, K2))
             return S, V
 
-        return run(tuple(disp), tuple(vel))
+        S, V = run(tuple(disp), tuple(vel))
+        # cheap host-side sanity: displacements that outgrew the
+        # static bounds silently lose paint/readout weight
+        from ..ops.gridpm import displacement_bounds
+        flo, fhi = displacement_bounds(S)
+        if float(flo) < bounds[0] or float(fhi) > bounds[1]:
+            import warnings
+            warnings.warn(
+                "displacements [%.2f, %.2f] exceeded the static lattice "
+                "bounds [%.2f, %.2f]; mass was dropped — widen bounds "
+                "or use the generic Solver.nbody path"
+                % (float(flo), float(fhi), bounds[0], bounds[1]),
+                stacklevel=2)
+        return S, V
 
     # --- time integration ---
     def nbody(self, state, time_steps, factors='fastpm', scheme='symp2',

@@ -81,9 +81,8 @@ def GridIC(PowerSpectrum, BoxSize, Ngrid, D1, seed=None, shift=0.5,
             return -v * k[a_] * k[b_] / k.normp(2, zeromode=1.0)
         return dlinear.apply(filt).c2r().value
 
-    field = (strain(0, 0) * strain(1, 1)
-             + strain(1, 1) * strain(2, 2)
-             + strain(2, 2) * strain(0, 0)
+    s00, s11, s22 = strain(0, 0), strain(1, 1), strain(2, 2)
+    field = (s00 * s11 + s11 * s22 + s22 * s00
              - strain(0, 1) ** 2
              - strain(0, 2) ** 2
              - strain(1, 2) ** 2)

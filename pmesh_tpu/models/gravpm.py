@@ -73,16 +73,23 @@ def run_sim(nmesh=64, boxsize=256.0, boost=2, resampler='tsc',
             _write_snapshot(output, a, state, np.asarray(k),
                             np.asarray(p))
 
+    measured = set()
+
     def monitor(a, state):
-        for tm in list(snapshot_times):
-            if abs(a - tm) < 1e-9 or (snapshot_times and a >= tm):
-                measure(a, state)
+        due = [tm for tm in snapshot_times if a >= tm - 1e-9]
+        if due:
+            # one measurement per crossing, however many marks it
+            # passed; tag by the scale factor actually measured
+            measure(a, state)
+            measured.add(round(float(a), 12))
+            for tm in due:
                 snapshot_times.remove(tm)
 
     use_monitor = monitor if snapshot_times else None
     state = solver.nbody(state, time_steps, factors='fastpm',
                          scheme='symp2', monitor=use_monitor)
-    measure(afinal, state)
+    if round(float(afinal), 12) not in measured:
+        measure(afinal, state)
     return state, spectra
 
 

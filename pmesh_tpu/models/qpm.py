@@ -103,9 +103,12 @@ class QPM(object):
 
         dloga = 0.1
         timesteps = list(np.arange(np.log(self.a0), 0.0, dloga))
-        if len(timesteps) == 0 or timesteps[-1] < 0.0:
-            timesteps.append((timesteps[-1] if timesteps else
-                              np.log(self.a0)) + dloga)
+        if len(timesteps) == 0:
+            timesteps.append(np.log(self.a0))
+        if timesteps[-1] < 0.0:
+            # land the final step exactly on a = 1 (loga = 0) instead
+            # of overshooting by a full dloga
+            timesteps.append(0.0)
 
         loga1 = timesteps[0]
         loga2 = timesteps[0]

@@ -26,9 +26,11 @@ The cost is ``prod_d nv_d`` passes where ``nv_d`` covers the
 displacement range [lo, hi] (in cells) plus the window support, so
 this path applies when displacements are bounded — true by
 construction for LPT initial conditions and for the early/mid steps
-of a PM run; the solver tracks the bound and falls back to the
-generic particle path (ops/paint.py) when it grows past
-``GRID_LIMIT`` offsets.
+of a PM run.  Callers pick static bounds (gravpm estimates them from
+the LPT amplitude and linear growth), nbody_lattice warns post-run if
+displacements outgrew them, and construction fails fast past
+``GRID_LIMIT`` offsets — beyond that, use the generic particle path
+(ops/paint.py).
 
 Gradient pairs mirror the reference's analytic paint/readout VJPs
 (pm.py:793-859, 1872-1935): the mesh cotangent of readout is a paint

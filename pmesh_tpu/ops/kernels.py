@@ -319,7 +319,7 @@ def _daubechies_filters(p, symlet=False):
             for idx in grp:
                 selection[idx] = flag
         h = build(selection)
-        if np.abs(h.imag).max() if np.iscomplexobj(h) else 0 > 1e-8:
+        if (np.abs(h.imag).max() if np.iscomplexobj(h) else 0) > 1e-8:
             continue
         h = np.real(h)
         # phase nonlinearity of the filter's DFT

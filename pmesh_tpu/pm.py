@@ -336,9 +336,27 @@ class Field(object):
         return tuple(index1), comp
 
     def cgetitem(self, index):
-        """Get a value by absolute (global) index (pm.py:287-296)."""
+        """Get a value by absolute (global) index (pm.py:287-296).
+
+        On a hermitian-compressed complex field, modes stored only as
+        conjugates (last-axis index beyond the compressed extent) are
+        reconstructed from the dual index — mirroring csetitem's
+        bookkeeping instead of letting JAX clamp the out-of-bounds
+        read to a neighbor.
+        """
         ind, comp = self._normalize_index(index)
+        conj = False
+        shape = self.value.shape
+        if any(ind[d] >= shape[d] for d in range(self.ndim)):
+            ind = tuple((self.Nmesh[d] - ind[d]) % self.Nmesh[d]
+                        for d in range(self.ndim))
+            conj = True
+            if any(ind[d] >= shape[d] for d in range(self.ndim)):
+                raise IndexError("index %s out of bounds for shape %s"
+                                 % (ind, shape))
         v = to_numpy(self.value[ind])
+        if conj:
+            v = np.conjugate(v)
         if comp is None:
             return v[()]
         return (v.imag if comp == 1 else v.real)[()]

@@ -12,21 +12,30 @@ is built here with a tiny custom command instead of ``Extension``
 also rebuilt on demand at import time whenever the sources are newer,
 so an in-place source checkout works with no build step at all.
 """
+import importlib.util
 import subprocess
-import sys
 from pathlib import Path
 
 from setuptools import setup
 from setuptools.command.build_py import build_py
 
 
+def _load_runtime():
+    # load native/runtime.py directly — importing the pmesh_tpu
+    # package would pull in jax, which is absent in an isolated
+    # PEP 517 build environment
+    path = Path(__file__).parent / "pmesh_tpu" / "native" / "runtime.py"
+    spec = importlib.util.spec_from_file_location("_pmesh_native_rt",
+                                                  path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 class build_py_with_native(build_py):
     def run(self):
-        here = Path(__file__).parent
-        sys.path.insert(0, str(here))
-        from pmesh_tpu.native import runtime
         try:
-            runtime.build()
+            _load_runtime().build()
         except subprocess.CalledProcessError as e:
             raise SystemExit(
                 "native runtime build failed:\n%s" % e.stderr.decode())
