@@ -435,9 +435,16 @@ class Solver(object):
 
         rho = _gp.paint_grid(disp, bounds=bounds, window=kind,
                              impl=impl)
+        if fft not in ('xla', 'mxu', 'mxu_bf16'):
+            raise ValueError("unknown fft backend %r (use 'xla', "
+                             "'mxu' or 'mxu_bf16')" % (fft,))
         if mode == 'spectral' and fft in ('mxu', 'mxu_bf16'):
             if fpm.ndim != 3 or fpm.procmesh is not None:
                 raise ValueError("fft='mxu' is 3-d single-device only")
+            if jnp.dtype(rho.dtype) != jnp.float32:
+                raise ValueError(
+                    "fft='mxu' computes in f32 (MXU matmuls); use a "
+                    "dtype='f4' mesh or fft='xla' for f64 runs")
             # 'mxu' = f32-exact (3-pass matmuls, 6e-8 vs jnp.fft);
             # 'mxu_bf16' = single-pass bf16 matmuls, ~1.6e-4 relative
             # force error — far below the SuperLanczos-vs-spectral
@@ -490,32 +497,39 @@ class Solver(object):
                                    fft=fft)
             return tuple(f / cell for f in F)
 
+        from ..ops.gridpm import displacement_bounds
+
         def step(carry, coeffs):
-            S, V, F = carry
+            S, V, F, lo, hi = carry
             k1, d1, k2 = coeffs
             V = tuple(v + f * k1 for v, f in zip(V, F))
             S = tuple(s + v * d1 for s, v in zip(S, V))
+            # track the RUN-WIDE displacement extremes: a transient
+            # excursion past the static bounds drops mass even if the
+            # final state is back inside
+            slo, shi = displacement_bounds(S)
+            lo = jnp.minimum(lo, slo)
+            hi = jnp.maximum(hi, shi)
             F = force_cells(S)
             V = tuple(v + f * k2 for v, f in zip(V, F))
-            return (S, V, F), None
+            return (S, V, F, lo, hi), None
 
         @jax.jit
         def run(S, V):
             F = force_cells(S)
-            (S, V, F), _ = jax.lax.scan(step, (S, V, F), (K1, D1s, K2))
-            return S, V
+            lo, hi = displacement_bounds(S)
+            (S, V, F, lo, hi), _ = jax.lax.scan(
+                step, (S, V, F, lo, hi), (K1, D1s, K2))
+            return S, V, lo, hi
 
-        S, V = run(tuple(disp), tuple(vel))
-        # cheap host-side sanity: displacements that outgrew the
-        # static bounds silently lose paint/readout weight
-        from ..ops.gridpm import displacement_bounds
-        flo, fhi = displacement_bounds(S)
+        S, V, flo, fhi = run(tuple(disp), tuple(vel))
         if float(flo) < bounds[0] or float(fhi) > bounds[1]:
             import warnings
             warnings.warn(
-                "displacements [%.2f, %.2f] exceeded the static lattice "
-                "bounds [%.2f, %.2f]; mass was dropped — widen bounds "
-                "or use the generic Solver.nbody path"
+                "displacements reached [%.2f, %.2f] during the run, "
+                "outside the static lattice bounds [%.2f, %.2f]; mass "
+                "was dropped — widen bounds or use the generic "
+                "Solver.nbody path"
                 % (float(flo), float(fhi), bounds[0], bounds[1]),
                 stacklevel=2)
         return S, V

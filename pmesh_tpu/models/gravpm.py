@@ -135,10 +135,11 @@ def _run_lattice(pm, solver, dlin, ainit, afinal, steps, order,
             _write_lattice_snapshot(output, a, disp, vel, cell,
                                     np.asarray(k), np.asarray(p))
 
-    # snapshot marks outside (ainit, afinal] cannot be reached by a
-    # forward integration from ainit — ignore them
+    # snapshot marks before ainit cannot be reached by a forward
+    # integration — ignore them; a mark AT ainit measures the ICs
     marks = sorted(set(
-        [t for t in snapshot_times if ainit < t <= afinal] + [afinal]))
+        [t for t in snapshot_times
+         if ainit - 1e-12 <= t <= afinal + 1e-12] + [afinal]))
     all_steps = np.linspace(ainit, afinal, steps, endpoint=True)
     a0 = ainit
     for am in marks:
@@ -149,15 +150,8 @@ def _run_lattice(pm, solver, dlin, ainit, afinal, steps, order,
                                              fft=fft)
         measure(am, disp)
         a0 = am
-
-    flo, fhi = gridpm.displacement_bounds(disp)
-    if float(flo) < bounds[0] or float(fhi) > bounds[1]:
-        import warnings
-        warnings.warn(
-            "final displacements [%.2f, %.2f] exceeded the static "
-            "bounds [%.2f, %.2f]; some mass was dropped — rerun with "
-            "lattice=False or a larger margin"
-            % (float(flo), float(fhi), bounds[0], bounds[1]))
+    # bound-overflow warnings are emitted per segment by
+    # nbody_lattice (which tracks the run-wide extremes)
     return (disp, vel), spectra
 
 

@@ -29,6 +29,8 @@ the custom VJPs live there.
 """
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -54,6 +56,17 @@ def _axis_k(win, diff, v, s):
     return -win.diff(v - s) if diff else win.kernel(v - s)
 
 
+def _extend_rows(base, extra):
+    """append `extra` wrap rows to base (N0 rows) — tiling as many
+    copies as needed when extra > N0."""
+    if extra <= 0:
+        return base
+    n0 = base.shape[0]
+    reps = -(-extra // n0)  # ceil
+    tail = jnp.concatenate([base] * reps, 0)[:extra]
+    return jnp.concatenate([base, tail], 0)
+
+
 def _interpret():
     return jax.default_backend() != 'tpu'
 
@@ -73,60 +86,70 @@ def _plane_spec(n1, n2, offset=0):
 def _readout_fused_multi(meshes, disp, vmin, vmax, window, diffdir,
                          nmesh):
     """sum_v prod_d K(v_d - s_d) * mesh[q+v] for each of nmesh meshes,
-    sharing the window weights and the x-window pipeline — one fused
-    HBM pass for the whole batch."""
+    sharing the window weights and the x-window pipeline.  Wide offset
+    ranges are chunked so the pipelined plane refs fit VMEM."""
     win = find_window(window)
-    nv = vmax - vmin + 1
     N0, N1, N2 = meshes[0].shape
     dtype = disp[0].dtype
+    plane_bytes = N1 * N2 * np.dtype(dtype).itemsize
 
-    # x-window rows q+vmin ... q+vmax, wrap-extended
-    exts = []
-    for mesh in meshes:
-        base = jnp.roll(mesh, -vmin, 0)
-        exts.append(jnp.concatenate([base, base[:nv - 1]], 0)
-                    if nv > 1 else base)
+    def chunk_call(v0, v1):
+        cnv = v1 - v0 + 1
+        # x-window rows q+v0 ... q+v1, wrap-extended
+        exts = [_extend_rows(jnp.roll(mesh, -v0, 0), cnv - 1)
+                for mesh in meshes]
 
-    def kernel(sxr, syr, szr, *rest):
-        mrefs = rest[:nmesh * nv]
-        orefs = rest[nmesh * nv:]
-        sx = sxr[0]
-        sy = syr[0]
-        sz = szr[0]
-        ky = [_axis_k(win, diffdir == 1, vy, sy).astype(dtype)
-              for vy in range(vmin, vmax + 1)]
-        kz = [_axis_k(win, diffdir == 2, vz, sz).astype(dtype)
-              for vz in range(vmin, vmax + 1)]
-        accs = [jnp.zeros((N1, N2), dtype) for _ in range(nmesh)]
-        for ivx, vx in enumerate(range(vmin, vmax + 1)):
-            kx = _axis_k(win, diffdir == 0, vx, sx).astype(dtype)
-            planes = [mrefs[m * nv + ivx][0] for m in range(nmesh)]
-            for ivy, vy in enumerate(range(vmin, vmax + 1)):
-                wxy = kx * ky[ivy]
-                pys = [_shift2(p, vy, 0) for p in planes]
-                for ivz, vz in enumerate(range(vmin, vmax + 1)):
-                    w = wxy * kz[ivz]
-                    for m in range(nmesh):
-                        accs[m] = accs[m] + w * _shift2(pys[m], 0, vz)
-        for m in range(nmesh):
-            orefs[m][0] = accs[m]
+        def kernel(sxr, syr, szr, *rest):
+            mrefs = rest[:nmesh * cnv]
+            orefs = rest[nmesh * cnv:]
+            sx = sxr[0]
+            sy = syr[0]
+            sz = szr[0]
+            ky = [_axis_k(win, diffdir == 1, vy, sy).astype(dtype)
+                  for vy in range(vmin, vmax + 1)]
+            kz = [_axis_k(win, diffdir == 2, vz, sz).astype(dtype)
+                  for vz in range(vmin, vmax + 1)]
+            accs = [jnp.zeros((N1, N2), dtype) for _ in range(nmesh)]
+            for ivx, vx in enumerate(range(v0, v1 + 1)):
+                kx = _axis_k(win, diffdir == 0, vx, sx).astype(dtype)
+                planes = [mrefs[m * cnv + ivx][0]
+                          for m in range(nmesh)]
+                for ivy, vy in enumerate(range(vmin, vmax + 1)):
+                    wxy = kx * ky[ivy]
+                    pys = [_shift2(p, vy, 0) for p in planes]
+                    for ivz, vz in enumerate(range(vmin, vmax + 1)):
+                        w = wxy * kz[ivz]
+                        for m in range(nmesh):
+                            accs[m] = accs[m] + w * _shift2(
+                                pys[m], 0, vz)
+            for m in range(nmesh):
+                orefs[m][0] = accs[m]
 
-    in_specs = ([_plane_spec(N1, N2)] * 3
-                + [_plane_spec(N1, N2, dx)
-                   for _ in range(nmesh) for dx in range(nv)])
-    margs = []
-    for e in exts:
-        margs.extend([e] * nv)
-    return pl.pallas_call(
-        kernel,
-        grid=(N0,),
-        in_specs=in_specs,
-        out_specs=tuple(_plane_spec(N1, N2) for _ in range(nmesh)),
-        out_shape=tuple(jax.ShapeDtypeStruct((N0, N1, N2), dtype)
-                        for _ in range(nmesh)),
-        compiler_params=_params(),
-        interpret=_interpret(),
-    )(disp[0], disp[1], disp[2], *margs)
+        in_specs = ([_plane_spec(N1, N2)] * 3
+                    + [_plane_spec(N1, N2, dx)
+                       for _ in range(nmesh) for dx in range(cnv)])
+        margs = []
+        for e in exts:
+            margs.extend([e] * cnv)
+        return pl.pallas_call(
+            kernel,
+            grid=(N0,),
+            in_specs=in_specs,
+            out_specs=tuple(_plane_spec(N1, N2)
+                            for _ in range(nmesh)),
+            out_shape=tuple(jax.ShapeDtypeStruct((N0, N1, N2), dtype)
+                            for _ in range(nmesh)),
+            compiler_params=_params(),
+            interpret=_interpret(),
+        )(disp[0], disp[1], disp[2], *margs)
+
+    outs = None
+    for v0, v1 in _offset_chunks(vmin, vmax, nmesh, 3 + nmesh,
+                                 plane_bytes):
+        part = chunk_call(v0, v1)
+        outs = part if outs is None else tuple(
+            o + p for o, p in zip(outs, part))
+    return outs
 
 
 def readout_fused(mesh, disp, vmin, vmax, window, diffdir=None):
@@ -142,70 +165,98 @@ def readout_fused(mesh, disp, vmin, vmax, window, diffdir=None):
 # trade-off.
 
 
+# pipelined refs are double-buffered; keep their total under this
+# budget (v5e VMEM is 128 MiB; leave room for compute temps).
+# module-level so the wide-bounds test can shrink it to force chunking
+_REF_BUDGET_BYTES = 60 * 1024 * 1024
+
+
+def _offset_chunks(vmin, vmax, refs_per_offset, fixed_refs,
+                   plane_bytes):
+    """split [vmin, vmax] into chunks whose pipelined plane refs fit
+    the VMEM budget (each ref is double-buffered)."""
+    nv = vmax - vmin + 1
+    per_chunk = max(1, (_REF_BUDGET_BYTES // (2 * plane_bytes)
+                        - fixed_refs) // refs_per_offset)
+    chunks = []
+    v0 = vmin
+    while v0 <= vmax:
+        v1 = min(v0 + per_chunk - 1, vmax)
+        chunks.append((v0, v1))
+        v0 = v1 + 1
+    return chunks
+
+
 @functools.partial(jax.jit, static_argnames=(
     'vmin', 'vmax', 'window', 'diffdir', 'scalar_mass'))
 def paint_fused(disp, mass, vmin, vmax, window, diffdir=None,
                 scalar_mass=True):
-    """sum_v roll(prod_d K(v_d - s_d) * mass, v): lattice paint in ONE
-    fused pass.
+    """sum_v roll(prod_d K(v_d - s_d) * mass, v): lattice paint.
 
     Gather form: output plane p pulls from source planes p - vx for
     vx in [vmin, vmax], via one sliding BlockSpec per x-offset on the
-    (wrap-extended) displacement/mass arrays — ~3*nv+1 pipelined
-    plane refs, fine under the raised VMEM limit."""
+    (wrap-extended) displacement/mass arrays.  Wide offset ranges are
+    split into chunks so the ~(3 or 4)*nv+1 pipelined plane refs stay
+    inside VMEM; chunk partials sum in XLA."""
     win = find_window(window)
-    nv = vmax - vmin + 1
     N0, N1, N2 = disp[0].shape
     dtype = disp[0].dtype
+    narr = 3 + (0 if scalar_mass else 1)
+    plane_bytes = N1 * N2 * np.dtype(dtype).itemsize
 
-    # source plane for output p at x-offset vx is p - vx: window rows
-    # p - vmax ... p - vmin; ext[r] = a[(r - vmax) % N0] so window
-    # slot dx at block p reads a[p + dx - vmax], i.e. dx = vmax - vx
-    def ext(a):
-        base = jnp.roll(a, vmax, 0)
-        return (jnp.concatenate([base, base[:nv - 1]], 0)
-                if nv > 1 else base)
+    def chunk_call(v0, v1):
+        cnv = v1 - v0 + 1
 
-    arrays = [ext(s) for s in disp]
-    if not scalar_mass:
-        arrays.append(ext(mass))
-    narr = len(arrays)
+        # source plane for output p at x-offset vx is p - vx: window
+        # rows p - v1 ... p - v0; ext[r] = a[(r - v1) % N0] so window
+        # slot dx at block p reads a[p + dx - v1], i.e. dx = v1 - vx
+        def ext(a):
+            return _extend_rows(jnp.roll(a, v1, 0), cnv - 1)
 
-    def kernel(*refs):
-        orefs = refs[-1]
-        acc = jnp.zeros((N1, N2), dtype)
-        for vx in range(vmin, vmax + 1):
-            slot = vmax - vx
-            sx = refs[slot][0]
-            sy = refs[nv + slot][0]
-            sz = refs[2 * nv + slot][0]
-            kx = _axis_k(win, diffdir == 0, vx, sx).astype(dtype)
-            if not scalar_mass:
-                kx = kx * refs[3 * nv + slot][0]
-            for vy in range(vmin, vmax + 1):
-                wxy = kx * _axis_k(win, diffdir == 1, vy, sy).astype(
-                    dtype)
-                for vz in range(vmin, vmax + 1):
-                    c = wxy * _axis_k(win, diffdir == 2, vz,
-                                      sz).astype(dtype)
-                    # placed at p = q + v: result[p] = c[p - v]
-                    acc = acc + _shift2(c, -vy, -vz)
-        orefs[0] = acc
+        arrays = [ext(s) for s in disp]
+        if not scalar_mass:
+            arrays.append(ext(mass))
 
-    in_specs = [_plane_spec(N1, N2, dx)
-                for _ in range(narr) for dx in range(nv)]
-    args = []
-    for a in arrays:
-        args.extend([a] * nv)
-    out = pl.pallas_call(
-        kernel,
-        grid=(N0,),
-        in_specs=in_specs,
-        out_specs=_plane_spec(N1, N2),
-        out_shape=jax.ShapeDtypeStruct((N0, N1, N2), dtype),
-        compiler_params=_params(),
-        interpret=_interpret(),
-    )(*args)
+        def kernel(*refs):
+            orefs = refs[-1]
+            acc = jnp.zeros((N1, N2), dtype)
+            for vx in range(v0, v1 + 1):
+                slot = v1 - vx
+                sx = refs[slot][0]
+                sy = refs[cnv + slot][0]
+                sz = refs[2 * cnv + slot][0]
+                kx = _axis_k(win, diffdir == 0, vx, sx).astype(dtype)
+                if not scalar_mass:
+                    kx = kx * refs[3 * cnv + slot][0]
+                for vy in range(vmin, vmax + 1):
+                    wxy = kx * _axis_k(win, diffdir == 1, vy,
+                                       sy).astype(dtype)
+                    for vz in range(vmin, vmax + 1):
+                        c = wxy * _axis_k(win, diffdir == 2, vz,
+                                          sz).astype(dtype)
+                        # placed at p = q + v: result[p] = c[p - v]
+                        acc = acc + _shift2(c, -vy, -vz)
+            orefs[0] = acc
+
+        in_specs = [_plane_spec(N1, N2, dx)
+                    for _ in range(narr) for dx in range(cnv)]
+        args = []
+        for a in arrays:
+            args.extend([a] * cnv)
+        return pl.pallas_call(
+            kernel,
+            grid=(N0,),
+            in_specs=in_specs,
+            out_specs=_plane_spec(N1, N2),
+            out_shape=jax.ShapeDtypeStruct((N0, N1, N2), dtype),
+            compiler_params=_params(),
+            interpret=_interpret(),
+        )(*args)
+
+    out = None
+    for v0, v1 in _offset_chunks(vmin, vmax, narr, 1, plane_bytes):
+        part = chunk_call(v0, v1)
+        out = part if out is None else out + part
     if scalar_mass:
         out = out * jnp.asarray(mass, dtype)
     return out

@@ -153,6 +153,9 @@ class _WindowNamespace(dict):
     def items(self):
         return [(k, self[k]) for k in self._names()]
 
+    def values(self):
+        return [self[k] for k in self._names()]
+
 
 windows = _WindowNamespace()
 

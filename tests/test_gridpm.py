@@ -185,3 +185,30 @@ def test_impl_pallas_matches_xla():
     np.testing.assert_allclose(np.asarray(outs['xla'][1]),
                                np.asarray(outs['pallas'][1]),
                                atol=1e-12)
+
+
+def test_pallas_offset_chunking_matches_xla():
+    """Wide offset ranges must chunk the sliding-window refs and still
+    match the XLA formulation exactly."""
+    import pmesh_tpu.ops.gridpm as gp
+    import pmesh_tpu.ops.gridpm_pallas as gpp
+    rng = np.random.RandomState(14)
+    n = 8
+    disp = tuple(jnp.asarray(rng.uniform(-4.0, 5.0, (n, n, n)))
+                 for _ in range(3))
+    mesh = jnp.asarray(rng.normal(size=(n, n, n)))
+    old_budget, gpp._REF_BUDGET_BYTES = gpp._REF_BUDGET_BYTES, \
+        8 * n * n * 8 * 2 * 4   # forces ~2-3 offsets per chunk
+    old_impl, gp.IMPL = gp.IMPL, 'pallas'
+    try:
+        rho_p = gp.paint_grid(disp, bounds=(-4.0, 5.0))
+        got_p = gp.readout_grid(mesh, disp, bounds=(-4.0, 5.0))
+    finally:
+        gpp._REF_BUDGET_BYTES = old_budget
+        gp.IMPL = old_impl
+    rho_x = gp.paint_grid(disp, bounds=(-4.0, 5.0), impl='xla')
+    got_x = gp.readout_grid(mesh, disp, bounds=(-4.0, 5.0), impl='xla')
+    np.testing.assert_allclose(np.asarray(rho_p), np.asarray(rho_x),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(got_x),
+                               atol=1e-12)
