@@ -392,13 +392,15 @@ class Field(object):
                 v = v.at[ind].set(v[ind].real + 1j * y_in)
             if has_dual:
                 v = v.at[dual].set(v[dual].real + 1j * dualy)
-            ret = y_in if has_local else 0
+            # an index stored only as its conjugate still takes the
+            # value (via the dual): report what cgetitem will read
+            ret = y_in if (has_local or has_dual) else 0
         elif comp == 0:
             if has_local:
                 v = v.at[ind].set(1j * v[ind].imag + y_in)
             if has_dual:
                 v = v.at[dual].set(1j * v[dual].imag + y_in)
-            ret = y_in if has_local else 0
+            ret = y_in if (has_local or has_dual) else 0
         else:
             dualy = np.conjugate(dualy)
             if has_local and has_dual and ind == dual:
@@ -408,7 +410,7 @@ class Field(object):
                 v = v.at[ind].set(y_in)
             if has_dual:
                 v = v.at[dual].set(dualy)
-            ret = y_in if has_local else 0
+            ret = y_in if (has_local or has_dual) else 0
         self.value = v
         return ret
 

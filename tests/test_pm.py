@@ -385,3 +385,35 @@ def test_whitenoise_resolution_invariance():
     c32.resample(d32)
     assert_allclose(np.asarray(d16.value), np.asarray(d32.value),
                     atol=1e-13)
+
+
+@pytest.mark.parametrize("shape", [(4, 4), (4, 4, 4)])
+def test_cgetitem_csetitem_every_index(shape):
+    """Exhaustive hermitian bookkeeping sweep (reference
+    test_pm.py:561-631): for EVERY global mode index, csetitem's
+    return value must be read back by cgetitem, and the conjugate
+    dual must hold everywhere."""
+    pm = ParticleMesh(Nmesh=list(shape), BoxSize=float(shape[0]),
+                      dtype='f8')
+    rng = np.random.RandomState(0)
+    comp = pm.create(type='transposedcomplex')
+    for flat in range(int(np.prod(shape))):
+        ind = list(np.unravel_index(flat, shape))
+        y = complex(rng.normal(), rng.normal())
+        ret = comp.csetitem(ind, y)
+        got = comp.cgetitem(ind)
+        np.testing.assert_allclose(got, ret, atol=1e-12)
+        dual = [(-i) % n for i, n in zip(ind, shape)]
+        np.testing.assert_allclose(comp.cgetitem(dual),
+                                   np.conjugate(got), atol=1e-12)
+    # whatever bookkeeping happened, the field must stay hermitian:
+    # its inverse transform is real and round-trips (c2r is the
+    # unnormalized inverse of the 1/prod(N)-scaled r2c)
+    real = comp.c2r()
+    assert np.isfinite(np.asarray(real.value)).all()
+    back = real.r2c()
+    for flat in range(int(np.prod(shape))):
+        ind = list(np.unravel_index(flat, shape))
+        a = comp.cgetitem(ind)
+        b = back.cgetitem(ind)
+        np.testing.assert_allclose(a, b, atol=1e-10)
