@@ -368,10 +368,16 @@ class Solver(object):
         fpm = self.fpm
         shape = tuple(int(n) for n in fpm.Nmesh)
         if not hasattr(self, '_mxu_cache'):
+            # hermitian-half z axis throughout (fft_mxu half variants)
             ks = [np.fft.fftfreq(n, d=float(b) / n) * 2 * np.pi
-                  for n, b in zip(shape, fpm.BoxSize)]
+                  for n, b in zip(shape[:2], fpm.BoxSize[:2])]
+            ks.append(np.fft.rfftfreq(
+                shape[2], d=float(fpm.BoxSize[2]) / shape[2])
+                * 2 * np.pi)
             # SuperLanczos order-1 difference kernel, matching
-            # tf.force_transfer's default (examples/nbody.py:162-169)
+            # tf.force_transfer's default (examples/nbody.py:162-169);
+            # it vanishes at Nyquist, which the half-spectrum gradient
+            # requires
             kd = []
             for d, n in enumerate(shape):
                 cell = float(fpm.BoxSize[d]) / n
@@ -385,7 +391,7 @@ class Solver(object):
                 tuple((k ** 2).astype('f4') for k in ks), tuple(kd))
         k2_np, kd = self._mxu_cache
         k2_1d = tuple(jnp.asarray(k) for k in k2_np)
-        r, i = fft_mxu.fft3_real_forward(rho, precision=precision)
+        r, i = fft_mxu.fft3_real_forward_half(rho, precision=precision)
         # 1/k^2 built in-graph from three (N,) constants; the tie to
         # `r` stops XLA from constant-folding the (N,N,N) product into
         # a 512 MB program literal (the remote compiler rejects those)
@@ -396,8 +402,8 @@ class Solver(object):
                           0.0)
         pr = r * invk2
         pi = i * invk2
-        return fft_mxu.fft3_real_inverse_grad3(pr, pi, kvecs=kd,
-                                               precision=precision)
+        return fft_mxu.fft3_real_inverse_grad3_half(
+            pr, pi, n2=shape[2], kvecs=kd, precision=precision)
 
     def force_lattice(self, disp, bounds, factor=None, mode='spectral',
                       fft='xla'):

@@ -38,7 +38,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fft3_real_forward", "fft3_real_inverse",
-           "fft3_real_inverse_grad3", "kvectors"]
+           "fft3_real_inverse_grad3", "fft3_real_forward_half",
+           "fft3_real_inverse_grad3_half", "kvectors"]
 
 # 'float32' = 3-pass bf16 matmuls, f32-exact results (6e-8 vs
 # jnp.fft); 'default' = single-pass bf16, ~1.7x faster at ~1.6e-4
@@ -147,13 +148,26 @@ def _zy_inverse_to_real(BX, N1, N2, scale, prec=None):
 # --- pass 2: x-axis DFT over y-blocks ----------------------------------
 
 def _x_transform(N0, BY, BZ, scale, prec=None):
+    # flattening (BY, BZ) into one matmul needs a lane-aligned BZ;
+    # otherwise run one matmul per y-row of the block
+    flat = (BZ % 128 == 0)
+
     def kernel(xr_ref, xi_ref, wxr, wxi, or_ref, oi_ref):
-        br = xr_ref[...].reshape(N0, BY * BZ)
-        bi = xi_ref[...].reshape(N0, BY * BZ)
-        rr = _mm(wxr[...], br, prec) - _mm(wxi[...], bi, prec)
-        ii = _mm(wxr[...], bi, prec) + _mm(wxi[...], br, prec)
-        or_ref[...] = (rr * scale).reshape(N0, BY, BZ)
-        oi_ref[...] = (ii * scale).reshape(N0, BY, BZ)
+        if flat:
+            br = xr_ref[...].reshape(N0, BY * BZ)
+            bi = xi_ref[...].reshape(N0, BY * BZ)
+            rr = _mm(wxr[...], br, prec) - _mm(wxi[...], bi, prec)
+            ii = _mm(wxr[...], bi, prec) + _mm(wxi[...], br, prec)
+            or_ref[...] = (rr * scale).reshape(N0, BY, BZ)
+            oi_ref[...] = (ii * scale).reshape(N0, BY, BZ)
+            return
+        for b in range(BY):
+            br = xr_ref[:, b, :]
+            bi = xi_ref[:, b, :]
+            rr = _mm(wxr[...], br, prec) - _mm(wxi[...], bi, prec)
+            ii = _mm(wxr[...], bi, prec) + _mm(wxi[...], br, prec)
+            or_ref[:, b, :] = rr * scale
+            oi_ref[:, b, :] = ii * scale
     return kernel
 
 
@@ -344,6 +358,177 @@ def fft3_real_inverse_grad3(r, i, kvecs, precision=None):
     # the x component needs its own folded x-pass
     gr, gi = xpass(r, i, wx_g)
     fx = zypass(gr, gi, wz, wy)
+    return fx, fy, fz
+
+
+# --- hermitian-half variants -------------------------------------------
+#
+# A real input's z-spectrum is hermitian: keep only Zh = N2//2+1
+# columns through EVERY pass (the forward z matmul uses the half DFT
+# matrix; the inverse-to-real z stage is the irfft-as-matmul
+# reconstruction out = Zr @ (m cos) - Zi @ (m sin), m = 1 at DC and
+# Nyquist, 2 elsewhere).  ~2x less z-stage work and ~Zh/N2 less
+# traffic/compute in the x and y passes.
+
+def _dft_half_np(n, zh):
+    k = np.arange(n)[:, None] * np.arange(zh)[None, :]
+    W = np.exp(-2j * np.pi * k / n)
+    return W.real.astype(np.float32), W.imag.astype(np.float32)
+
+
+def _irfft_mats_np(n, zh, grad_kvec=None):
+    """(A, B) with out = Zr @ A + Zi @ B reconstructing the real
+    inverse along z; grad_kvec folds an extra i*k_z factor."""
+    m = np.full(zh, 2.0)
+    m[0] = 1.0
+    if n % 2 == 0:
+        m[-1] = 1.0
+    theta = 2 * np.pi * np.arange(zh)[:, None] * np.arange(n)[None, :] / n
+    c = np.cos(theta) * m[:, None]
+    s_ = np.sin(theta) * m[:, None]
+    if grad_kvec is None:
+        A, B = c, -s_
+    else:
+        kz = np.asarray(grad_kvec, dtype=np.float64)[:, None]
+        A, B = -kz * s_, -kz * c
+    return A.astype(np.float32), B.astype(np.float32)
+
+
+def _zy_forward_real_h(BX, N1, N2, Zh, prec=None):
+    def kernel(x_ref, wzr, wzi, wyr, wyi, or_ref, oi_ref):
+        p = x_ref[...].reshape(BX * N1, N2)
+        zr = _mm(p, wzr[...], prec).reshape(BX, N1, Zh)
+        zi = _mm(p, wzi[...], prec).reshape(BX, N1, Zh)
+        for b in range(BX):
+            or_ref[b] = (_mm(wyr[...], zr[b], prec)
+                         - _mm(wyi[...], zi[b], prec))
+            oi_ref[b] = (_mm(wyr[...], zi[b], prec)
+                         + _mm(wyi[...], zr[b], prec))
+    return kernel
+
+
+def _zy_inverse_to_real_h(BX, N1, N2, Zh, prec=None):
+    """inverse y transform then irfft-as-matmul along z."""
+    def kernel(xr_ref, xi_ref, wyr, wyi, A, B, o_ref):
+        for b in range(BX):
+            pr = xr_ref[b]
+            pi = xi_ref[b]
+            yr = _mm(wyr[...], pr, prec) - _mm(wyi[...], pi, prec)
+            yi = _mm(wyr[...], pi, prec) + _mm(wyi[...], pr, prec)
+            o_ref[b] = _mm(yr, A[...], prec) + _mm(yi, B[...], prec)
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=('norm', 'precision'))
+def fft3_real_forward_half(x, norm=True, precision=None):
+    """hermitian-half forward FFT of a real array: returns (r, i) of
+    shape (N0, N1, N2//2+1), scaled like :func:`fft3_real_forward`."""
+    N0, N1, N2 = x.shape
+    Zh = N2 // 2 + 1
+    wzr, wzi = (jnp.asarray(a) for a in _dft_half_np(N2, Zh))
+    wyr, wyi = _dft(N1, -1)
+    wxr, wxi = _dft(N0, -1)
+    prec = _resolve_prec(precision)
+
+    BX = _pick_bx(N0, N1, Zh)
+    pr, pi = pl.pallas_call(
+        _zy_forward_real_h(BX, N1, N2, Zh, prec),
+        grid=(N0 // BX,),
+        in_specs=[_xplane_spec(N1, N2, BX),
+                  _full_spec((N2, Zh)), _full_spec((N2, Zh)),
+                  _full_spec((N1, N1)), _full_spec((N1, N1))],
+        out_specs=(_xplane_spec(N1, Zh, BX), _xplane_spec(N1, Zh, BX)),
+        out_shape=(jax.ShapeDtypeStruct((N0, N1, Zh), jnp.float32),
+                   jax.ShapeDtypeStruct((N0, N1, Zh), jnp.float32)),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(x.astype(jnp.float32), wzr, wzi, wyr, wyi)
+
+    scale = 1.0 / (N0 * N1 * N2) if norm else 1.0
+    rr, ii = pl.pallas_call(
+        _x_transform(N0, 8 if N1 % 8 == 0 else N1, Zh,
+                     np.float32(scale), prec),
+        grid=(N1 // (8 if N1 % 8 == 0 else N1), 1),
+        in_specs=[_yzblock_spec(N0, 8 if N1 % 8 == 0 else N1, Zh),
+                  _yzblock_spec(N0, 8 if N1 % 8 == 0 else N1, Zh),
+                  _full_spec2((N0, N0)), _full_spec2((N0, N0))],
+        out_specs=(_yzblock_spec(N0, 8 if N1 % 8 == 0 else N1, Zh),
+                   _yzblock_spec(N0, 8 if N1 % 8 == 0 else N1, Zh)),
+        out_shape=(jax.ShapeDtypeStruct((N0, N1, Zh), jnp.float32),
+                   jax.ShapeDtypeStruct((N0, N1, Zh), jnp.float32)),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(pr, pi, wxr, wxi)
+    return rr, ii
+
+
+@functools.partial(jax.jit, static_argnames=('n2', 'kvecs',
+                                             'precision'))
+def fft3_real_inverse_grad3_half(r, i, n2, kvecs, precision=None):
+    """the spectral force triple from a HALF spectrum (r, i) of shape
+    (N0, N1, Zh): unnormalized inverses of i*k_d * spectrum.  The y/z
+    gradients fold into pass-1 matrices and share one x-pass.
+
+    Requires kvecs[0]/kvecs[1] to VANISH at the Nyquist frequency of
+    even-length axes (true for the SuperLanczos force kernel): a
+    nonzero odd multiplier at Nyquist breaks the hermitian symmetry
+    the half-spectrum doubling relies on.  kvecs[2] covers the half
+    axis (len Zh)."""
+    N0, N1, Zh = r.shape
+    for d, n in ((0, N0), (1, N1)):
+        if n % 2 == 0 and abs(kvecs[d][n // 2]) > 1e-12:
+            raise ValueError(
+                "kvecs[%d] must vanish at the Nyquist index for the "
+                "half-spectrum gradient (use a Nyquist-zero force "
+                "kernel like SuperLanczos, or the full-spectrum "
+                "fft3_real_inverse_grad3)" % d)
+    if len(kvecs[2]) != Zh:
+        raise ValueError("kvecs[2] must have length Zh=%d" % Zh)
+    prec = _resolve_prec(precision)
+    wy = _dft_np(N1, +1)
+    wx = _dft_np(N0, +1)
+    wx_g = _fold_i_freq(*wx, kvecs[0], 'right')
+    wy_g = _fold_i_freq(*wy, kvecs[1], 'right')
+    A_p, B_p = _irfft_mats_np(n2, Zh)
+    A_g, B_g = _irfft_mats_np(n2, Zh, grad_kvec=kvecs[2])
+
+    BY = 8 if N1 % 8 == 0 else N1
+    BX = _pick_bx(N0, N1, Zh)
+
+    def xpass(rr, ii, W):
+        return pl.pallas_call(
+            _x_transform(N0, BY, Zh, np.float32(1.0), prec),
+            grid=(N1 // BY, 1),
+            in_specs=[_yzblock_spec(N0, BY, Zh),
+                      _yzblock_spec(N0, BY, Zh),
+                      _full_spec2((N0, N0)), _full_spec2((N0, N0))],
+            out_specs=(_yzblock_spec(N0, BY, Zh),
+                       _yzblock_spec(N0, BY, Zh)),
+            out_shape=(jax.ShapeDtypeStruct((N0, N1, Zh), jnp.float32),
+                       jax.ShapeDtypeStruct((N0, N1, Zh), jnp.float32)),
+            compiler_params=_params(),
+            interpret=_interpret(),
+        )(rr, ii, jnp.asarray(W[0]), jnp.asarray(W[1]))
+
+    def zypass(rr, ii, Wy, AB):
+        return pl.pallas_call(
+            _zy_inverse_to_real_h(BX, N1, n2, Zh, prec),
+            grid=(N0 // BX,),
+            in_specs=[_xplane_spec(N1, Zh, BX), _xplane_spec(N1, Zh, BX),
+                      _full_spec((N1, N1)), _full_spec((N1, N1)),
+                      _full_spec((Zh, n2)), _full_spec((Zh, n2))],
+            out_specs=_xplane_spec(N1, n2, BX),
+            out_shape=jax.ShapeDtypeStruct((N0, N1, n2), jnp.float32),
+            compiler_params=_params(),
+            interpret=_interpret(),
+        )(rr, ii, jnp.asarray(Wy[0]), jnp.asarray(Wy[1]),
+          jnp.asarray(AB[0]), jnp.asarray(AB[1]))
+
+    sr, si = xpass(r, i, wx)
+    fy = zypass(sr, si, wy_g, (A_p, B_p))
+    fz = zypass(sr, si, wy, (A_g, B_g))
+    gr, gi = xpass(r, i, wx_g)
+    fx = zypass(gr, gi, wy, (A_p, B_p))
     return fx, fy, fz
 
 
