@@ -212,3 +212,48 @@ def test_pallas_offset_chunking_matches_xla():
                                atol=1e-12)
     np.testing.assert_allclose(np.asarray(got_p), np.asarray(got_x),
                                atol=1e-12)
+
+
+def test_anisotropic_mesh_paths():
+    """Anisotropic Nmesh through the field API, lattice ops and the
+    MXU FFT (reference test_window.py:155-167 covers anisotropy)."""
+    from pmesh_tpu import ParticleMesh
+    from pmesh_tpu.ops import fft_mxu
+    rng = np.random.RandomState(15)
+    shape = (4, 8, 16)
+    pm = ParticleMesh(Nmesh=list(shape), BoxSize=[4.0, 8.0, 16.0],
+                      dtype='f8', resampler='cic')
+    pos = jnp.asarray(rng.uniform(0, 4, (200, 3))
+                      * np.array([1.0, 2.0, 4.0]))
+    rho = pm.paint(pos)
+    np.testing.assert_allclose(float(rho.value.sum()), 200.0,
+                               rtol=1e-12)
+    back = rho.r2c().c2r()
+    np.testing.assert_allclose(np.asarray(back.value),
+                               np.asarray(rho.value), atol=1e-10)
+
+    # lattice ops on an anisotropic mesh
+    disp = tuple(jnp.asarray(rng.uniform(0, 1.0, shape))
+                 for _ in range(3))
+    lat = gridpm.paint_grid(disp, bounds=(0.0, 1.0))
+    np.testing.assert_allclose(float(lat.sum()), float(np.prod(shape)),
+                               rtol=1e-12)
+    q = np.stack(np.meshgrid(*[np.arange(n) for n in shape],
+                             indexing='ij'), -1).reshape(-1, 3)
+    s = np.stack([np.asarray(d).ravel() for d in disp], -1)
+    from pmesh_tpu.ops import paint as generic
+    truth = generic.paint(jnp.zeros(shape), q + s, window='cic',
+                          period=np.array(shape))
+    np.testing.assert_allclose(np.asarray(lat), np.asarray(truth),
+                               atol=1e-12)
+
+    # MXU FFT full and half on anisotropic shapes
+    x = rng.normal(size=shape).astype('f4')
+    r, i = fft_mxu.fft3_real_forward(jnp.asarray(x))
+    tr = np.fft.fftn(x) / x.size
+    assert np.abs(np.asarray(r) + 1j * np.asarray(i) - tr).max() \
+        < 1e-5 * np.abs(tr).max() + 1e-7
+    rh, ih = fft_mxu.fft3_real_forward_half(jnp.asarray(x))
+    trh = np.fft.rfftn(x) / x.size
+    assert np.abs(np.asarray(rh) + 1j * np.asarray(ih) - trh).max() \
+        < 1e-5 * np.abs(trh).max() + 1e-7
