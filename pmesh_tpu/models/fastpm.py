@@ -252,10 +252,18 @@ class Solver(object):
             for d in range(fpm.ndim))
         Xb = jax.lax.optimization_barrier(X)
         a = fpm.affine
-        vals = _paint_ops.readout(meshes, Xb,
-                                  window=fpm.resampler.window,
-                                  scale=a.scale, translate=a.translate,
-                                  period=a.period)
+        from ..parallel.exchange import ShardedLayout, readout_sharded
+        if isinstance(layout, ShardedLayout):
+            # device-sharded particles: ghost images read their local
+            # slab; gather('sum') reassembles the straddled stencils
+            vals = readout_sharded(layout, meshes, Xb, a.scale,
+                                   fpm.resampler.window)
+        else:
+            vals = _paint_ops.readout(meshes, Xb,
+                                      window=fpm.resampler.window,
+                                      scale=a.scale,
+                                      translate=a.translate,
+                                      period=a.period)
         return jnp.stack(vals, axis=-1) * factor
 
     def force_staged(self, X, factor=None):
@@ -391,7 +399,16 @@ class Solver(object):
                 tuple((k ** 2).astype('f4') for k in ks), tuple(kd))
         k2_np, kd = self._mxu_cache
         k2_1d = tuple(jnp.asarray(k) for k in k2_np)
-        r, i = fft_mxu.fft3_real_forward_half(rho, precision=precision)
+        pmh = fpm.procmesh if (fpm.procmesh is not None
+                               and fpm.procmesh.size > 1) else None
+        if pmh is not None:
+            # pencil execution: pass 1 local per slab, all_to_all
+            # transpose, x-pass local on the transposed layout
+            r, i = fft_mxu.fft3_real_forward_half_sharded(
+                pmh, rho, precision=precision)
+        else:
+            r, i = fft_mxu.fft3_real_forward_half(
+                rho, precision=precision)
         # 1/k^2 built in-graph from three (N,) constants; the tie to
         # `r` stops XLA from constant-folding the (N,N,N) product into
         # a 512 MB program literal (the remote compiler rejects those)
@@ -402,6 +419,10 @@ class Solver(object):
                           0.0)
         pr = r * invk2
         pi = i * invk2
+        if pmh is not None:
+            return fft_mxu.fft3_real_inverse_grad3_half_sharded(
+                pmh, pr, pi, n2=shape[2], kvecs=kd,
+                precision=precision)
         return fft_mxu.fft3_real_inverse_grad3_half(
             pr, pi, n2=shape[2], kvecs=kd, precision=precision)
 
@@ -434,19 +455,20 @@ class Solver(object):
             factor = 1.5 * self.cosmology.Om0
         cell = float(fpm.BoxSize[0] / fpm.Nmesh[0])
         kind = fpm.resampler.window.kind
-        # on a device mesh the rolls of the XLA formulation lower to
-        # ICI halo collective-permutes under GSPMD; the pallas kernels
-        # are single-device (shard_map wrapping: future work)
-        impl = 'xla' if fpm.procmesh is not None else None
+        # on a device mesh the pallas kernels run per-slab inside
+        # shard_map with ring halo exchange (ops/gridpm._shift_sharded)
+        pmh = fpm.procmesh if (fpm.procmesh is not None
+                               and fpm.procmesh.size > 1) else None
+        impl = None
 
         rho = _gp.paint_grid(disp, bounds=bounds, window=kind,
-                             impl=impl)
+                             impl=impl, procmesh=pmh)
         if fft not in ('xla', 'mxu', 'mxu_bf16'):
             raise ValueError("unknown fft backend %r (use 'xla', "
                              "'mxu' or 'mxu_bf16')" % (fft,))
         if mode == 'spectral' and fft in ('mxu', 'mxu_bf16'):
-            if fpm.ndim != 3 or fpm.procmesh is not None:
-                raise ValueError("fft='mxu' is 3-d single-device only")
+            if fpm.ndim != 3:
+                raise ValueError("fft='mxu' is 3-d only")
             if jnp.dtype(rho.dtype) != jnp.float32:
                 raise ValueError(
                     "fft='mxu' computes in f32 (MXU matmuls); use a "
@@ -458,7 +480,8 @@ class Solver(object):
             meshes = self._mxu_force_meshes(
                 rho, precision='bf16' if fft == 'mxu_bf16' else None)
             vals = _gp.readout_grid(meshes, disp, bounds=bounds,
-                                    window=kind, impl=impl)
+                                    window=kind, impl=impl,
+                                    procmesh=pmh)
             return tuple(v * factor for v in vals)
         rhok = fpm.create(type=RealField, value=rho).r2c()
         if mode == 'spectral':
@@ -466,7 +489,8 @@ class Solver(object):
                 rhok.apply(tf.force_transfer(d)).c2r().value
                 for d in range(fpm.ndim))
             vals = _gp.readout_grid(meshes, disp, bounds=bounds,
-                                    window=kind, impl=impl)
+                                    window=kind, impl=impl,
+                                    procmesh=pmh)
         elif mode == 'gradient':
             if fft != 'xla':
                 raise ValueError(
@@ -479,7 +503,8 @@ class Solver(object):
             phi = rhok.apply(tf.poisson()).c2r().value
             vals = tuple(
                 -_gp.readout_grid(phi, disp, bounds=bounds, window=kind,
-                                  diffdir=d, impl=impl) / cell
+                                  diffdir=d, impl=impl,
+                                  procmesh=pmh) / cell
                 for d in range(fpm.ndim))
         else:
             raise ValueError("mode must be 'spectral' or 'gradient'")

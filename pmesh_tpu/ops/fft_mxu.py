@@ -532,6 +532,170 @@ def fft3_real_inverse_grad3_half(r, i, n2, kvecs, precision=None):
     return fx, fy, fz
 
 
+# --- sharded (pencil) hermitian-half transforms --------------------------
+#
+# The multi-chip execution of the pfft role (reference pm.py:1406-1441):
+# slab-sharded real input, per-slab z+y pass (pass 1 is local by
+# construction), ONE all_to_all transpose over ICI, then the x-axis
+# matmul pass local on the transposed (y-sharded) layout — exactly the
+# reference's PFFT_TRANSPOSED_OUT trick, with the MXU x-pass doubling
+# as the pencil stage.  The inverse undoes the transpose.
+
+def _zy_fwd_half_call(x, N2, Zh, wzr, wzi, wyr, wyi, prec):
+    """pass 1 on an (n0, N1, N2) block -> half-spectrum (r, i)."""
+    n0, N1, _ = x.shape
+    BX = _pick_bx(n0, N1, Zh)
+    return pl.pallas_call(
+        _zy_forward_real_h(BX, N1, N2, Zh, prec),
+        grid=(n0 // BX,),
+        in_specs=[_xplane_spec(N1, N2, BX),
+                  _full_spec((N2, Zh)), _full_spec((N2, Zh)),
+                  _full_spec((N1, N1)), _full_spec((N1, N1))],
+        out_specs=(_xplane_spec(N1, Zh, BX), _xplane_spec(N1, Zh, BX)),
+        out_shape=(jax.ShapeDtypeStruct((n0, N1, Zh), jnp.float32),
+                   jax.ShapeDtypeStruct((n0, N1, Zh), jnp.float32)),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(x.astype(jnp.float32), wzr, wzi, wyr, wyi)
+
+
+def _xpass_half_call(pr, pi, wxr, wxi, scale, prec):
+    """x-axis DFT matmul on an (N0, n1, Zh) block."""
+    N0, n1, Zh = pr.shape
+    BY = 8 if n1 % 8 == 0 else n1
+    return pl.pallas_call(
+        _x_transform(N0, BY, Zh, np.float32(scale), prec),
+        grid=(n1 // BY, 1),
+        in_specs=[_yzblock_spec(N0, BY, Zh), _yzblock_spec(N0, BY, Zh),
+                  _full_spec2((N0, N0)), _full_spec2((N0, N0))],
+        out_specs=(_yzblock_spec(N0, BY, Zh),
+                   _yzblock_spec(N0, BY, Zh)),
+        out_shape=(jax.ShapeDtypeStruct((N0, n1, Zh), jnp.float32),
+                   jax.ShapeDtypeStruct((N0, n1, Zh), jnp.float32)),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(pr, pi, wxr, wxi)
+
+
+def _zy_inv_half_call(rr, ii, wy, AB, n2, prec):
+    """inverse y transform + irfft-as-matmul z on (n0, N1, Zh)."""
+    n0, N1, Zh = rr.shape
+    BX = _pick_bx(n0, N1, Zh)
+    return pl.pallas_call(
+        _zy_inverse_to_real_h(BX, N1, n2, Zh, prec),
+        grid=(n0 // BX,),
+        in_specs=[_xplane_spec(N1, Zh, BX), _xplane_spec(N1, Zh, BX),
+                  _full_spec((N1, N1)), _full_spec((N1, N1)),
+                  _full_spec((Zh, n2)), _full_spec((Zh, n2))],
+        out_specs=_xplane_spec(N1, n2, BX),
+        out_shape=jax.ShapeDtypeStruct((n0, N1, n2), jnp.float32),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(rr, ii, jnp.asarray(wy[0]), jnp.asarray(wy[1]),
+      jnp.asarray(AB[0]), jnp.asarray(AB[1]))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('procmesh', 'norm', 'precision'))
+def fft3_real_forward_half_sharded(procmesh, x, norm=True,
+                                   precision=None):
+    """hermitian-half forward FFT of a slab-sharded real array.
+
+    x is (N0, N1, N2) sharded P(ax, None, None); returns (r, i) of
+    shape (N0, N1, Zh) in the TRANSPOSED layout P(None, ax, None).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    N0, N1, N2 = x.shape
+    Zh = N2 // 2 + 1
+    D = procmesh.size
+    ax = procmesh.axis
+    if N0 % D or N1 % D:
+        raise ValueError(
+            "the sharded MXU FFT needs Nmesh[0] and Nmesh[1] "
+            "divisible by the device count (%d; got %d, %d)"
+            % (D, N0, N1))
+    wzr, wzi = (jnp.asarray(a) for a in _dft_half_np(N2, Zh))
+    wyr, wyi = _dft(N1, -1)
+    wxr, wxi = _dft(N0, -1)
+    prec = _resolve_prec(precision)
+    scale = 1.0 / (N0 * N1 * N2) if norm else 1.0
+
+    def local(xl):
+        pr, pi = _zy_fwd_half_call(xl, N2, Zh, wzr, wzi, wyr, wyi,
+                                   prec)
+        # pencil transpose: scatter y, gather x — one fused ICI
+        # all_to_all (the pfft transpose, reference pm.py:1409-1411)
+        pr = jax.lax.all_to_all(pr, ax, split_axis=1, concat_axis=0,
+                                tiled=True)
+        pi = jax.lax.all_to_all(pi, ax, split_axis=1, concat_axis=0,
+                                tiled=True)
+        return _xpass_half_call(pr, pi, wxr, wxi, scale, prec)
+
+    fn = shard_map(local, mesh=procmesh.mesh,
+                   in_specs=P(ax, None, None),
+                   out_specs=(P(None, ax, None), P(None, ax, None)),
+                   check_vma=False)
+    return fn(x)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'procmesh', 'n2', 'kvecs', 'precision'))
+def fft3_real_inverse_grad3_half_sharded(procmesh, r, i, n2, kvecs,
+                                         precision=None):
+    """sharded spectral force triple: the inverse of
+    :func:`fft3_real_forward_half_sharded` with the i*k_d gradient
+    folded in (see fft3_real_inverse_grad3_half for the math and the
+    Nyquist requirement on kvecs).
+
+    (r, i) are (N0, N1, Zh) in the transposed layout P(None, ax,
+    None); the three force meshes return slab-sharded P(ax, None,
+    None).  The y/z gradients share one x-pass and one transpose, so
+    the triple costs two all_to_alls.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    N0, N1, Zh = r.shape
+    D = procmesh.size
+    ax = procmesh.axis
+    for d, n in ((0, N0), (1, N1)):
+        if n % 2 == 0 and abs(kvecs[d][n // 2]) > 1e-12:
+            raise ValueError(
+                "kvecs[%d] must vanish at the Nyquist index for the "
+                "half-spectrum gradient" % d)
+    prec = _resolve_prec(precision)
+    wy = _dft_np(N1, +1)
+    wx = _dft_np(N0, +1)
+    wx_g = _fold_i_freq(*wx, kvecs[0], 'right')
+    wy_g = _fold_i_freq(*wy, kvecs[1], 'right')
+    A_p, B_p = _irfft_mats_np(n2, Zh)
+    A_g, B_g = _irfft_mats_np(n2, Zh, grad_kvec=kvecs[2])
+
+    def a2a_back(a):
+        return jax.lax.all_to_all(a, ax, split_axis=0, concat_axis=1,
+                                  tiled=True)
+
+    def local(rl, il):
+        # shared plain x-pass for the y and z gradient components
+        sr, si = _xpass_half_call(rl, il, jnp.asarray(wx[0]),
+                                  jnp.asarray(wx[1]), 1.0, prec)
+        sr, si = a2a_back(sr), a2a_back(si)
+        fy = _zy_inv_half_call(sr, si, wy_g, (A_p, B_p), n2, prec)
+        fz = _zy_inv_half_call(sr, si, wy, (A_g, B_g), n2, prec)
+        # the x component needs its own folded x-pass
+        gr, gi = _xpass_half_call(rl, il, jnp.asarray(wx_g[0]),
+                                  jnp.asarray(wx_g[1]), 1.0, prec)
+        gr, gi = a2a_back(gr), a2a_back(gi)
+        fx = _zy_inv_half_call(gr, gi, wy, (A_p, B_p), n2, prec)
+        return fx, fy, fz
+
+    fn = shard_map(local, mesh=procmesh.mesh,
+                   in_specs=(P(None, ax, None), P(None, ax, None)),
+                   out_specs=(P(ax, None, None),) * 3,
+                   check_vma=False)
+    return fn(r, i)
+
+
 def kvectors(shape, BoxSize):
     """full-spectrum (not hermitian-compressed) wavenumber vectors in
     box units, broadcastable against the (r, i) spectrum arrays."""

@@ -121,12 +121,17 @@ def _decode(i, nvs):
 
 
 def _shift_loop(meshes, disp, mass, bounds, window, diffdir, mode,
-                impl=None):
+                impl=None, procmesh=None):
     """The shared shift-sum driver.
 
     mode='paint':   returns sum_v roll(w_v * mass, +v) for one mesh
                     (meshes is None; output shape = disp[0].shape)
     mode='readout': returns tuple(sum_v w_v * roll(m, -v) for m in meshes)
+
+    On a device mesh (``procmesh``) the pallas implementation runs
+    per-slab inside shard_map with halo planes ppermuted from ring
+    neighbors (parallel/halo.py); the XLA implementation stays global
+    (GSPMD lowers the rolls to collective permutes).
     """
     win = find_window(window)
     ndim = len(disp)
@@ -147,6 +152,9 @@ def _shift_loop(meshes, disp, mass, bounds, window, diffdir, mode,
 
     if _use_pallas(impl) and ndim == 3:
         from . import gridpm_pallas as _pk
+        if procmesh is not None and procmesh.size > 1:
+            return _shift_sharded(_pk, meshes, disp, mass, vmin, vmax,
+                                  win.kind, diffdir, mode, procmesh)
         if mode == 'paint':
             m = jnp.asarray(1.0 if mass is None else mass, dtype=dtype)
             return _pk.paint_fused(disp, m, vmin, vmax, win.kind,
@@ -191,24 +199,93 @@ def _shift_loop(meshes, disp, mass, bounds, window, diffdir, mode,
     return lax.fori_loop(0, total, body, init)
 
 
+def _shift_sharded(_pk, meshes, disp, mass, vmin, vmax, kind, diffdir,
+                   mode, procmesh):
+    """shard_map execution of the pallas shift-sum over x slabs."""
+    import jax as _jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from ..parallel.halo import extend_x
+
+    ax = procmesh.axis
+    D = procmesh.size
+    N0 = disp[0].shape[0]
+    if N0 % D != 0:
+        raise ValueError(
+            "the sharded lattice path needs Nmesh[0] %% n_devices "
+            "== 0 (got %d %% %d)" % (N0, D))
+    rows = N0 // D
+    spec = P(ax, None, None)
+    nvm = vmax - vmin
+
+    def ext_range(local, first, last):
+        """local slab rows [start+first, start+last] inclusive."""
+        lo = max(0, -first)
+        hi = max(0, last - (rows - 1))
+        e = extend_x(local, lo, hi, ax, D)
+        a = lo + first
+        return e[a:a + (last - first + 1)]
+
+    if mode == 'paint':
+        m = jnp.asarray(1.0 if mass is None else mass,
+                        dtype=disp[0].dtype)
+        scalar_mass = (m.ndim == 0)
+
+        def local(*args):
+            dl = args[:3]
+            exts = tuple(ext_range(d, -vmax, rows - 1 - vmin)
+                         for d in dl)
+            if scalar_mass:
+                mext = 1.0
+            else:
+                mext = ext_range(args[3], -vmax, rows - 1 - vmin)
+            return _pk.paint_fused_ext(exts, mext, vmin, vmax, kind,
+                                       diffdir=diffdir,
+                                       scalar_mass=scalar_mass,
+                                       nrows=rows)
+
+        operands = tuple(disp) + (() if scalar_mass else (m,))
+        fn = shard_map(local, mesh=procmesh.mesh,
+                       in_specs=(spec,) * len(operands),
+                       out_specs=spec, check_vma=False)
+        out = fn(*operands)
+        if scalar_mass:
+            out = out * m
+        return out
+
+    # readout: one sharded call per mesh (see gridpm_pallas note)
+    def local(mm, *dl):
+        mext = ext_range(mm, vmin, rows - 1 + vmax)
+        return _pk.readout_fused_ext((mext,), dl, vmin, vmax, kind,
+                                     diffdir=diffdir)[0]
+
+    fn = shard_map(local, mesh=procmesh.mesh,
+                   in_specs=(spec,) * (1 + len(disp)),
+                   out_specs=spec, check_vma=False)
+    return tuple(fn(mm, *disp) for mm in meshes)
+
+
 # --- differentiable wrappers -------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _paint_grid(disp, mass, bounds, window, ndim, impl=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _paint_grid(disp, mass, bounds, window, ndim, impl=None,
+                procmesh=None):
     return _shift_loop(None, disp, mass, bounds, window, None, 'paint',
-                       impl)
+                       impl, procmesh)
 
 
-def _paint_fwd(disp, mass, bounds, window, ndim, impl=None):
-    return (_paint_grid(disp, mass, bounds, window, ndim, impl),
+def _paint_fwd(disp, mass, bounds, window, ndim, impl=None,
+               procmesh=None):
+    return (_paint_grid(disp, mass, bounds, window, ndim, impl,
+                        procmesh),
             (disp, mass))
 
 
-def _paint_bwd(bounds, window, ndim, impl, res, v):
+def _paint_bwd(bounds, window, ndim, impl, procmesh, res, v):
     disp, mass = res
     # mass_bar[q] = sum_v w(q,v) v[q+v]  == readout of v
     mass_bar = _shift_loop((v,), disp, None, bounds, window, None,
-                           'readout', impl)[0]
+                           'readout', impl, procmesh)[0]
     m = jnp.asarray(mass, dtype=disp[0].dtype)
     if m.ndim == 0:
         mass_bar = jnp.sum(mass_bar)
@@ -216,7 +293,7 @@ def _paint_bwd(bounds, window, ndim, impl, res, v):
     disp_bar = []
     for d in range(ndim):
         rd = _shift_loop((v,), disp, None, bounds, window, d, 'readout',
-                         impl)[0]
+                         impl, procmesh)[0]
         disp_bar.append(m * rd)
     return tuple(disp_bar), mass_bar
 
@@ -224,28 +301,32 @@ def _paint_bwd(bounds, window, ndim, impl, res, v):
 _paint_grid.defvjp(_paint_fwd, _paint_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _readout_grid(meshes, disp, bounds, window, ndim, impl=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _readout_grid(meshes, disp, bounds, window, ndim, impl=None,
+                  procmesh=None):
     return _shift_loop(meshes, disp, None, bounds, window, None,
-                       'readout', impl)
+                       'readout', impl, procmesh)
 
 
-def _readout_fwd(meshes, disp, bounds, window, ndim, impl=None):
-    return (_readout_grid(meshes, disp, bounds, window, ndim, impl),
+def _readout_fwd(meshes, disp, bounds, window, ndim, impl=None,
+                 procmesh=None):
+    return (_readout_grid(meshes, disp, bounds, window, ndim, impl,
+                          procmesh),
             (meshes, disp))
 
 
-def _readout_bwd(bounds, window, ndim, impl, res, vbar):
+def _readout_bwd(bounds, window, ndim, impl, procmesh, res, vbar):
     meshes, disp = res
     # mesh cotangent: paint of each vbar with the same displacements
     mesh_bar = tuple(
-        _shift_loop(None, disp, vb, bounds, window, None, 'paint', impl)
+        _shift_loop(None, disp, vb, bounds, window, None, 'paint',
+                    impl, procmesh)
         for vb in vbar)
     # displacement cotangent: sum over meshes of vbar * diff-readout
     disp_bar = [jnp.zeros_like(disp[d]) for d in range(ndim)]
     for d in range(ndim):
         rds = _shift_loop(meshes, disp, None, bounds, window, d,
-                          'readout', impl)
+                          'readout', impl, procmesh)
         acc = jnp.zeros_like(disp[d])
         for vb, rd in zip(vbar, rds):
             acc = acc + vb * rd
@@ -259,7 +340,7 @@ _readout_grid.defvjp(_readout_fwd, _readout_bwd)
 # --- public API --------------------------------------------------------
 
 def paint_grid(disp, mass=None, bounds=(0.0, 1.0), window='cic',
-               impl=None):
+               impl=None, procmesh=None):
     """Paint lattice particles displaced by ``disp`` onto their own mesh.
 
     Parameters
@@ -270,17 +351,19 @@ def paint_grid(disp, mass=None, bounds=(0.0, 1.0), window='cic',
     bounds : (lo, hi) floats — static displacement bounds in cells.
         Out-of-bounds displacements silently lose mass; validate with
         :func:`displacement_bounds`.
+    procmesh : ProcessMesh or None — run the pallas fast path
+        per-slab under shard_map with ring halo exchange.
     """
     disp = tuple(jnp.asarray(s) for s in disp)
     ndim = len(disp)
     if mass is None:
         mass = 1.0
     return _paint_grid(disp, mass, (float(bounds[0]), float(bounds[1])),
-                       find_window(window).kind, ndim, impl)
+                       find_window(window).kind, ndim, impl, procmesh)
 
 
 def readout_grid(mesh, disp, bounds=(0.0, 1.0), window='cic',
-                 diffdir=None, impl=None):
+                 diffdir=None, impl=None, procmesh=None):
     """Read one mesh (or a tuple of meshes, sharing the weights) at the
     displaced lattice sites.  Inverse-adjoint of :func:`paint_grid`.
 
@@ -304,8 +387,9 @@ def readout_grid(mesh, disp, bounds=(0.0, 1.0), window='cic',
     b = (float(bounds[0]), float(bounds[1]))
     kind = find_window(window).kind
     if diffdir is None:
-        out = _readout_grid(meshes, disp, b, kind, ndim, impl)
+        out = _readout_grid(meshes, disp, b, kind, ndim, impl,
+                            procmesh)
     else:
         out = _shift_loop(meshes, disp, None, b, kind, int(diffdir),
-                          'readout', impl)
+                          'readout', impl, procmesh)
     return out[0] if single else out

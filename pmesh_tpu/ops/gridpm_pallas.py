@@ -8,21 +8,27 @@ program holds (N1, N2) planes in VMEM, evaluates the window weights
 there, and applies the y/z components of every shift as VMEM lane/
 sublane rotations (pltpu.roll — periodic wrap for free).
 
+The x-axis window is expressed through **extended** source arrays:
+``ext[i + dx]`` must hold the global plane ``i0 + i + off + dx`` for
+block offsets dx in [0, vmax - vmin] (one sliding BlockSpec per dx).
+
+- single device: ext = wrap-extended roll of the full array (the
+  periodic boundary in x for free);
+- device mesh: ext = local slab + halo planes ppermuted from ring
+  neighbors (parallel/halo.py), called per-shard inside shard_map —
+  the kernels themselves are unchanged.
+
 Budget (v5e: ~16 MB VMEM, pipelined refs are double-buffered; a 512^2
 f32 plane is 1 MB):
 
 - readout: one call per mesh; refs = 3 aligned displacement planes +
   nv sliding mesh planes (the x-window, one BlockSpec per x-offset)
   + 1 output = 7 planes -> ~14 MB with double buffering.
-- paint: one call per x-offset vx with aligned refs only (3 disp [+
-  mass] + 1 partial output = 4-5 planes); the +vx placement is a
-  dense jnp.roll of the partial outside the kernel.
+- paint: gather-form — output plane p pulls source planes p - vx, so
+  refs = (3 disp [+ mass]) x nv sliding planes + 1 output.
 
-Gather-form dataflow, so programs only write their own plane:
-
-  readout:  out[q]    = sum_v prod_d K(v_d - s_d(q)) * mesh[q + v]
-  paint:    out[q+vx] = sum_{vy,vz} m(q) prod_d K(v_d - s_d(q))
-                        rolled within the plane by (vy, vz)
+Wide offset ranges are chunked so the pipelined refs fit VMEM; chunk
+partials sum in XLA.
 
 Used by ops/gridpm.py as the TPU implementation; the public API and
 the custom VJPs live there.
@@ -38,7 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .kernels import find_window
 
-__all__ = ["readout_fused", "paint_fused"]
+__all__ = ["readout_fused", "paint_fused",
+           "readout_fused_ext", "paint_fused_ext"]
 
 
 def _shift2(x, vy, vz):
@@ -81,23 +88,48 @@ def _plane_spec(n1, n2, offset=0):
                         memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    'vmin', 'vmax', 'window', 'diffdir', 'nmesh'))
-def _readout_fused_multi(meshes, disp, vmin, vmax, window, diffdir,
-                         nmesh):
-    """sum_v prod_d K(v_d - s_d) * mesh[q+v] for each of nmesh meshes,
-    sharing the window weights and the x-window pipeline.  Wide offset
-    ranges are chunked so the pipelined plane refs fit VMEM."""
+# pipelined refs are double-buffered; keep their total under this
+# budget (v5e VMEM is 128 MiB; leave room for compute temps).
+# module-level so the wide-bounds test can shrink it to force chunking
+_REF_BUDGET_BYTES = 60 * 1024 * 1024
+
+
+def _offset_chunks(vmin, vmax, refs_per_offset, fixed_refs,
+                   plane_bytes):
+    """split [vmin, vmax] into chunks whose pipelined plane refs fit
+    the VMEM budget (each ref is double-buffered)."""
+    per_chunk = max(1, (_REF_BUDGET_BYTES // (2 * plane_bytes)
+                        - fixed_refs) // refs_per_offset)
+    chunks = []
+    v0 = vmin
+    while v0 <= vmax:
+        v1 = min(v0 + per_chunk - 1, vmax)
+        chunks.append((v0, v1))
+        v0 = v1 + 1
+    return chunks
+
+
+# --- readout ------------------------------------------------------------
+
+def readout_fused_ext(meshes_ext, disp, vmin, vmax, window,
+                      diffdir=None):
+    """sum_v prod_d K(v_d - s_d(q)) * mesh[q + v] over local rows.
+
+    meshes_ext : tuple of (nrows + vmax - vmin, N1, N2) extended mesh
+        arrays — ext[i + dx] = global mesh plane (row i) + vmin + dx.
+    disp : 3 arrays of (nrows, N1, N2) displacements (aligned).
+    Returns one (nrows, N1, N2) array per mesh.
+    """
     win = find_window(window)
-    N0, N1, N2 = meshes[0].shape
+    meshes_ext = tuple(meshes_ext)
+    nmesh = len(meshes_ext)
+    nrows, N1, N2 = disp[0].shape
     dtype = disp[0].dtype
     plane_bytes = N1 * N2 * np.dtype(dtype).itemsize
 
     def chunk_call(v0, v1):
         cnv = v1 - v0 + 1
-        # x-window rows q+v0 ... q+v1, wrap-extended
-        exts = [_extend_rows(jnp.roll(mesh, -v0, 0), cnv - 1)
-                for mesh in meshes]
+        base = v0 - vmin
 
         def kernel(sxr, syr, szr, *rest):
             mrefs = rest[:nmesh * cnv]
@@ -126,18 +158,19 @@ def _readout_fused_multi(meshes, disp, vmin, vmax, window, diffdir,
                 orefs[m][0] = accs[m]
 
         in_specs = ([_plane_spec(N1, N2)] * 3
-                    + [_plane_spec(N1, N2, dx)
+                    + [_plane_spec(N1, N2, base + dx)
                        for _ in range(nmesh) for dx in range(cnv)])
         margs = []
-        for e in exts:
+        for e in meshes_ext:
             margs.extend([e] * cnv)
         return pl.pallas_call(
             kernel,
-            grid=(N0,),
+            grid=(nrows,),
             in_specs=in_specs,
             out_specs=tuple(_plane_spec(N1, N2)
                             for _ in range(nmesh)),
-            out_shape=tuple(jax.ShapeDtypeStruct((N0, N1, N2), dtype)
+            out_shape=tuple(jax.ShapeDtypeStruct((nrows, N1, N2),
+                                                 dtype)
                             for _ in range(nmesh)),
             compiler_params=_params(),
             interpret=_interpret(),
@@ -152,70 +185,51 @@ def _readout_fused_multi(meshes, disp, vmin, vmax, window, diffdir,
     return outs
 
 
+@functools.partial(jax.jit, static_argnames=(
+    'vmin', 'vmax', 'window', 'diffdir'))
 def readout_fused(mesh, disp, vmin, vmax, window, diffdir=None):
-    """single-mesh wrapper over :func:`_readout_fused_multi`."""
-    return _readout_fused_multi((mesh,), tuple(disp), vmin, vmax,
-                                window, diffdir, 1)[0]
+    """single-device full-array readout: the x wrap is a roll."""
+    ext = _extend_rows(jnp.roll(mesh, -vmin, 0), vmax - vmin)
+    return readout_fused_ext((ext,), tuple(disp), vmin, vmax, window,
+                             diffdir)[0]
 
 
 # NOTE: batching several meshes into one kernel (nmesh > 1) measured
 # SLOWER than per-mesh calls on v5e (larger VMEM working set pipelines
-# worse), so only the nmesh=1 wrapper is public; the multi-mesh body
-# is kept because it is the natural generalization and documents the
-# trade-off.
+# worse), so gridpm.py issues one readout call per mesh; the
+# multi-mesh body is kept because it is the natural generalization
+# and documents the trade-off.
 
 
-# pipelined refs are double-buffered; keep their total under this
-# budget (v5e VMEM is 128 MiB; leave room for compute temps).
-# module-level so the wide-bounds test can shrink it to force chunking
-_REF_BUDGET_BYTES = 60 * 1024 * 1024
+# --- paint --------------------------------------------------------------
 
-
-def _offset_chunks(vmin, vmax, refs_per_offset, fixed_refs,
-                   plane_bytes):
-    """split [vmin, vmax] into chunks whose pipelined plane refs fit
-    the VMEM budget (each ref is double-buffered)."""
-    nv = vmax - vmin + 1
-    per_chunk = max(1, (_REF_BUDGET_BYTES // (2 * plane_bytes)
-                        - fixed_refs) // refs_per_offset)
-    chunks = []
-    v0 = vmin
-    while v0 <= vmax:
-        v1 = min(v0 + per_chunk - 1, vmax)
-        chunks.append((v0, v1))
-        v0 = v1 + 1
-    return chunks
-
-
-@functools.partial(jax.jit, static_argnames=(
-    'vmin', 'vmax', 'window', 'diffdir', 'scalar_mass'))
-def paint_fused(disp, mass, vmin, vmax, window, diffdir=None,
-                scalar_mass=True):
-    """sum_v roll(prod_d K(v_d - s_d) * mass, v): lattice paint.
+def paint_fused_ext(disp_ext, mass_ext, vmin, vmax, window,
+                    diffdir=None, scalar_mass=True, nrows=None):
+    """sum_v roll(prod_d K(v_d - s_d) * mass, v) over local rows.
 
     Gather form: output plane p pulls from source planes p - vx for
-    vx in [vmin, vmax], via one sliding BlockSpec per x-offset on the
-    (wrap-extended) displacement/mass arrays.  Wide offset ranges are
-    split into chunks so the ~(3 or 4)*nv+1 pipelined plane refs stay
-    inside VMEM; chunk partials sum in XLA."""
+    vx in [vmin, vmax].  ``disp_ext`` (and ``mass_ext`` when not
+    scalar) are extended arrays with ext[i + j] = global source plane
+    (row i) - vmax + j, j in [0, vmax - vmin].
+    """
     win = find_window(window)
-    N0, N1, N2 = disp[0].shape
-    dtype = disp[0].dtype
+    disp_ext = tuple(disp_ext)
+    nvm = vmax - vmin
+    if nrows is None:
+        nrows = disp_ext[0].shape[0] - nvm
+    _, N1, N2 = disp_ext[0].shape
+    dtype = disp_ext[0].dtype
     narr = 3 + (0 if scalar_mass else 1)
     plane_bytes = N1 * N2 * np.dtype(dtype).itemsize
+    arrays = list(disp_ext)
+    if not scalar_mass:
+        arrays.append(mass_ext)
 
     def chunk_call(v0, v1):
         cnv = v1 - v0 + 1
-
-        # source plane for output p at x-offset vx is p - vx: window
-        # rows p - v1 ... p - v0; ext[r] = a[(r - v1) % N0] so window
-        # slot dx at block p reads a[p + dx - v1], i.e. dx = v1 - vx
-        def ext(a):
-            return _extend_rows(jnp.roll(a, v1, 0), cnv - 1)
-
-        arrays = [ext(s) for s in disp]
-        if not scalar_mass:
-            arrays.append(ext(mass))
+        # slot dx (0..cnv-1) at output p reads ext[p + base + dx]
+        # with base chosen so dx = v1 - vx: source = p - vx
+        base = vmax - v1
 
         def kernel(*refs):
             orefs = refs[-1]
@@ -238,17 +252,17 @@ def paint_fused(disp, mass, vmin, vmax, window, diffdir=None,
                         acc = acc + _shift2(c, -vy, -vz)
             orefs[0] = acc
 
-        in_specs = [_plane_spec(N1, N2, dx)
+        in_specs = [_plane_spec(N1, N2, base + dx)
                     for _ in range(narr) for dx in range(cnv)]
         args = []
         for a in arrays:
             args.extend([a] * cnv)
         return pl.pallas_call(
             kernel,
-            grid=(N0,),
+            grid=(nrows,),
             in_specs=in_specs,
             out_specs=_plane_spec(N1, N2),
-            out_shape=jax.ShapeDtypeStruct((N0, N1, N2), dtype),
+            out_shape=jax.ShapeDtypeStruct((nrows, N1, N2), dtype),
             compiler_params=_params(),
             interpret=_interpret(),
         )(*args)
@@ -258,5 +272,22 @@ def paint_fused(disp, mass, vmin, vmax, window, diffdir=None,
         part = chunk_call(v0, v1)
         out = part if out is None else out + part
     if scalar_mass:
-        out = out * jnp.asarray(mass, dtype)
+        out = out * jnp.asarray(mass_ext, dtype)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'vmin', 'vmax', 'window', 'diffdir', 'scalar_mass'))
+def paint_fused(disp, mass, vmin, vmax, window, diffdir=None,
+                scalar_mass=True):
+    """single-device full-array lattice paint (x wrap via roll)."""
+    nvm = vmax - vmin
+
+    def ext(a):
+        return _extend_rows(jnp.roll(a, vmax, 0), nvm)
+
+    disp_ext = tuple(ext(s) for s in disp)
+    mass_ext = mass if scalar_mass else ext(mass)
+    return paint_fused_ext(disp_ext, mass_ext, vmin, vmax, window,
+                           diffdir=diffdir, scalar_mass=scalar_mass,
+                           nrows=disp[0].shape[0])

@@ -161,6 +161,7 @@ def _offset_terms(geom, ipos, dxs, vfac, isup, offsets, base_w):
     """Flat mesh index and weight of one stencil offset (all 1-d)."""
     ndim = geom.ndim
     shape = geom.shape
+    size = int(np.prod(shape, dtype=np.int64))
     idx = None
     w = base_w
     ok = None
@@ -169,7 +170,9 @@ def _offset_terms(geom, ipos, dxs, vfac, isup, offsets, base_w):
         idx = t if idx is None else idx * shape[d] + t
         ok = okd if ok is None else (ok & okd)
         w = w * _kweight(geom, dxs[d], d, offsets[d], vfac, isup)
-    idx = jnp.where(ok, idx, -1)   # 'drop'/'fill' handles these
+    # out-of-bounds sentinel must be >= size: jax .at[] modes wrap
+    # NEGATIVE indices (numpy semantics) even under 'drop'/'fill'
+    idx = jnp.where(ok, idx, size)
     return idx, w
 
 
@@ -225,6 +228,8 @@ def _paint_impl(mesh, pos, mass, hsml, geom):
         # one scatter per stencil point
         kstack = [jnp.stack(kd) for kd in kvals]      # ndim x (S, N)
 
+        size = int(np.prod(geom.shape, dtype=np.int64))
+
         def body(o, fm):
             idx = None
             w = mass
@@ -241,7 +246,7 @@ def _paint_impl(mesh, pos, mass, hsml, geom):
                 idx = term if idx is None else idx + term
                 ok = okd if ok is None else (ok & okd)
                 w = w * jnp.take(kstack[d], od, axis=0)
-            idx = jnp.where(ok, idx, -1)
+            idx = jnp.where(ok, idx, size)  # see _offset_terms
             return fm.at[idx].add(w.astype(fm.dtype), mode='drop')
 
         flat_mesh = jax.lax.fori_loop(0, npoints, body, flat_mesh)
@@ -309,6 +314,8 @@ def _readout_impl(mesh, pos, hsml, geom):
         flat_mesh = flat_meshes[0]
         kstack = [jnp.stack(kd) for kd in kvals]
 
+        size = int(np.prod(geom.shape, dtype=np.int64))
+
         def body(o, acc):
             idx = None
             w = ones
@@ -323,7 +330,7 @@ def _readout_impl(mesh, pos, hsml, geom):
                 idx = term if idx is None else idx + term
                 ok = okd if ok is None else (ok & okd)
                 w = w * jnp.take(kstack[d], od, axis=0)
-            idx = jnp.where(ok, idx, -1)
+            idx = jnp.where(ok, idx, size)  # see _offset_terms
             new = [a + fm.at[idx].get(mode='fill', fill_value=0) * w
                    for a, fm in zip(acc, flat_meshes)]
             return tuple(new)

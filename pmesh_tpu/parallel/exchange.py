@@ -1,0 +1,571 @@
+"""Device-sharded particle ghost exchange (the jittable Layout).
+
+TPU-native replacement for the ragged packed-Alltoallv particle
+exchange of the reference (pmesh/domain.py:138-318 Layout.exchange/
+gather, pmesh/_domain.pyx:9-122 gridnd_fill).  MPI can ship ragged
+buffers because counts are exchanged first; an XLA program cannot —
+every shape is static.  So the plan here is **capacity-padded**:
+
+- particle arrays are global jax Arrays sharded in equal blocks over
+  the device-mesh axis (block b on device b);
+- the mesh axis 0 is slab-decomposed over the same devices (rows =
+  N0 // D per device, matching parallel/pmesh.ProcessMesh);
+- *residency contract*: every particle in block b must be within
+  ``kside`` slabs of slab b (its window reach included).  Fresh
+  decompositions satisfy this by construction (see :func:`reshard`);
+  particles may then drift up to ``kside*rows - smoothing`` cells
+  between reshards.
+- :func:`decompose` builds, per device, 2*kside fixed-capacity ghost
+  channels (send to slab b±m); ghosts move with ``lax.ppermute`` over
+  ICI inside ``shard_map``.  The local block itself is channel 0 —
+  the particle's home image never moves.
+
+Violations are never silent: capacity overflow or a residency breach
+sets a NaN poison that is folded into every exchanged/gathered float
+(the analog of the reference's hard MPI errors; a warning after wrong
+numbers is not acceptable).
+
+``exchange`` returns, per input array, a global ``(D*L, ...)`` array
+(L = block + 2*kside*capacity slots; invalid slots hold ``fill``);
+``gather`` reduces it back to the original ``(N, ...)`` ordering with
+sum/mean/any/all/local modes (reference domain.py:208-318).
+
+Everything in this module is pure jnp/lax, traces under jit, and
+differentiates (exchange is a gather + ppermute; its transpose is the
+scatter-add that gather('sum') performs — jax derives both).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+__all__ = ["ShardedLayout", "decompose", "reshard", "home_block"]
+
+
+def _channels(kside):
+    """(m, side) per ghost channel; side -1 = send to b-m, +1 = b+m."""
+    out = []
+    for m in range(1, kside + 1):
+        out.append((m, -1))
+        out.append((m, +1))
+    return out
+
+
+@jax.tree_util.register_pytree_node_class
+class ShardedLayout(object):
+    """Capacity-padded ghost routing plan over a device mesh.
+
+    Pytree: children are the traced plan arrays; the static geometry
+    is aux data, so a ShardedLayout flows through jit/scan/grad.
+
+    Attributes
+    ----------
+    send_idx : (D, C, cap) int32
+        per device block, per ghost channel, local indices of the
+        particles to ship (-1 = empty slot).
+    recv_valid : (D, C, cap) bool
+        validity of the received slots of each channel.
+    badness : () float32
+        0.0, or NaN if the plan overflowed capacity / broke the
+        residency contract.  Folded into all exchanged floats.
+    """
+
+    def __init__(self, procmesh, send_idx, recv_valid, badness,
+                 npart, N0, rows, kside, capacity, smoothing):
+        self.procmesh = procmesh
+        self.send_idx = send_idx
+        self.recv_valid = recv_valid
+        self.badness = badness
+        self.npart = int(npart)
+        self.N0 = int(N0)
+        self.rows = int(rows)
+        self.kside = int(kside)
+        self.capacity = int(capacity)
+        self.smoothing = smoothing
+        self.D = procmesh.size
+        self.nl = self.npart // self.D
+        # reference-compatible introspection
+        self.sendlength = self.npart
+        self.recvlength = self.D * self.slots_per_block
+
+    @property
+    def slots_per_block(self):
+        return self.nl + 2 * self.kside * self.capacity
+
+    # --- pytree ---
+    def tree_flatten(self):
+        children = (self.send_idx, self.recv_valid, self.badness)
+        aux = (self.procmesh, self.npart, self.N0, self.rows,
+               self.kside, self.capacity, self.smoothing)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        procmesh, npart, N0, rows, kside, capacity, smoothing = aux
+        return cls(procmesh, children[0], children[1], children[2],
+                   npart, N0, rows, kside, capacity, smoothing)
+
+    # --- helpers ---
+    def _specs(self, extra_dims):
+        tail = (None,) * extra_dims
+        ax = self.procmesh.axis
+        return P(ax, *tail)
+
+    def _poison(self, x):
+        if jnp.issubdtype(x.dtype, jnp.floating) or \
+           jnp.issubdtype(x.dtype, jnp.complexfloating):
+            return x + self.badness.astype(x.real.dtype)
+        return x
+
+    def _shard_map(self, fn, in_specs, out_specs):
+        return shard_map(fn, mesh=self.procmesh.mesh,
+                         in_specs=in_specs, out_specs=out_specs)
+
+    # --- exchange -----------------------------------------------------
+    def exchange(self, *args, pack=True, fill=0):
+        """Ship ghost copies to every intersecting slab.
+
+        Each argument of shape (npart, ...) returns as a
+        (D*slots_per_block, ...) global array: per device, the local
+        block followed by the received ghost channels (empty slots
+        hold ``fill``).  Use :meth:`ghost_mask` for slot validity and
+        :meth:`gather` to reduce back.
+        """
+        if len(args) == 0:
+            return None
+        r = tuple(self._poison(self._exchange_one(jnp.asarray(a), fill,
+                                                  axis0_mode=None))
+                  for a in args)
+        if len(args) == 1:
+            return r[0]
+        return r
+
+    def exchange_scalar(self, value):
+        """reference pm.py:1146-1157: scalars skip the exchange."""
+        return value
+
+    def _exchange_one(self, a, fill, axis0_mode):
+        """axis0_mode: None = raw payload; 'grid0' = the array is the
+        axis-0 grid coordinate — re-center to the sender block and
+        shift received ghosts into the receiver's unwrapped frame."""
+        if a.shape[0] != self.npart:
+            raise ValueError("exchange expects leading axis %d, got %s"
+                             % (self.npart, a.shape))
+        ax = self.procmesh.axis
+        D = self.D
+        nl = self.nl
+        cap = self.capacity
+        N0 = self.N0
+        rows = self.rows
+        chans = _channels(self.kside)
+
+        def local(a, idx, valid):
+            # a: (nl, ...); idx: (1, C, cap); valid: (1, C, cap)
+            idx = idx[0]
+            valid = valid[0]
+            b = lax.axis_index(ax)
+            if axis0_mode == 'grid0':
+                g = jnp.mod(a, N0)
+                center = (b.astype(a.dtype) + 0.5) * rows
+                a = g - N0 * jnp.round((g - center) / N0)
+            parts = [a]
+            fillv = jnp.asarray(fill, dtype=a.dtype)
+            for c, (m, side) in enumerate(chans):
+                i = idx[c]
+                ok = i >= 0
+                buf = jnp.take(a, jnp.clip(i, 0), axis=0)
+                okb = ok.reshape(ok.shape + (1,) * (a.ndim - 1))
+                buf = jnp.where(okb, buf, fillv)
+                # side -1: block j ships to j-m (receive from j+m)
+                perm = [(j, (j + side * m) % D) for j in range(D)]
+                recv = lax.ppermute(buf, ax, perm)
+                rv = valid[c].reshape(ok.shape + (1,) * (a.ndim - 1))
+                recv = jnp.where(rv, recv, fillv)
+                if axis0_mode == 'grid0':
+                    # ghost sent by block (b - side*m): when that
+                    # index wraps past D the sender sits at the low
+                    # end of the box and its coordinate must appear
+                    # +N0 in this receiver's unwrapped frame (and
+                    # -N0 for a wrap below 0)
+                    src = b - side * m
+                    wrap = jnp.where(src < 0, -1,
+                                     jnp.where(src >= D, 1, 0))
+                    recv = jnp.where(rv, recv + wrap * N0, recv)
+                parts.append(recv)
+            return jnp.concatenate(parts, axis=0)
+
+        extra = a.ndim - 1
+        fn = self._shard_map(
+            local,
+            in_specs=(self._specs(extra), P(ax, None, None),
+                      P(ax, None, None)),
+            out_specs=self._specs(extra))
+        return fn(a, self.send_idx, self.recv_valid)
+
+    def exchange_grid0(self, g0, fill=0.0):
+        """Exchange the axis-0 grid coordinate, re-centered per block
+        and shifted into each receiver's unwrapped frame — what the
+        sharded paint/readout consume (internal fast path)."""
+        return self._poison(self._exchange_one(
+            jnp.asarray(g0), fill, axis0_mode='grid0'))
+
+    def ghost_mask(self):
+        """(D*slots_per_block,) bool — True where a slot holds data."""
+        ax = self.procmesh.axis
+        nl = self.nl
+
+        def local(valid):
+            ones = jnp.ones((nl,), dtype=bool)
+            return jnp.concatenate(
+                [ones] + [valid[0, c] for c in
+                          range(valid.shape[1])], axis=0)
+
+        fn = self._shard_map(local, in_specs=(P(ax, None, None),),
+                             out_specs=P(ax))
+        return fn(self.recv_valid)
+
+    # --- gather --------------------------------------------------------
+    def gather(self, data, mode='sum', out=None):
+        """Reduce ghost images back to their source particles
+        (reference domain.py:208-318).
+
+        data : (D*slots_per_block, ...) — the shape exchange returns.
+        mode : 'sum' | 'mean' | 'any' | 'all' | 'local'
+        """
+        data = jnp.asarray(data)
+        if mode == 'all':
+            return data
+        if data.shape[0] != self.recvlength:
+            raise ValueError(
+                "gather expects the exchange result length %d, got %s"
+                % (self.recvlength, data.shape))
+        ax = self.procmesh.axis
+        D = self.D
+        nl = self.nl
+        cap = self.capacity
+        chans = _channels(self.kside)
+        want_count = (mode == 'mean')
+
+        def local(d, idx, valid):
+            idx = idx[0]
+            valid = valid[0]
+            localpart = d[:nl]
+            if mode == 'local':
+                return localpart
+            out = localpart
+            cnt = jnp.ones((nl,), dtype=d.dtype) if want_count else None
+            for c, (m, side) in enumerate(chans):
+                part = d[nl + c * cap: nl + (c + 1) * cap]
+                # route the ghost results back to the source block
+                perm = [(j, (j - side * m) % D) for j in range(D)]
+                back = lax.ppermute(part, ax, perm)
+                i = idx[c]
+                ok = i >= 0
+                okb = ok.reshape(ok.shape + (1,) * (d.ndim - 1))
+                safe = jnp.clip(i, 0)
+                if mode in ('sum', 'mean'):
+                    contrib = jnp.where(okb, back, 0)
+                    out = out.at[safe].add(contrib, mode='drop')
+                    if want_count:
+                        cnt = cnt.at[safe].add(
+                            jnp.where(ok, 1, 0).astype(d.dtype),
+                            mode='drop')
+                elif mode == 'any':
+                    upd = jnp.where(okb, back,
+                                    jnp.take(out, safe, axis=0))
+                    out = out.at[safe].set(upd, mode='drop')
+                else:
+                    raise NotImplementedError(mode)
+            if want_count:
+                cshape = (nl,) + (1,) * (d.ndim - 1)
+                out = out / cnt.reshape(cshape)
+            return out
+
+        extra = data.ndim - 1
+        fn = self._shard_map(
+            local,
+            in_specs=(self._specs(extra), P(ax, None, None),
+                      P(ax, None, None)),
+            out_specs=self._specs(extra))
+        return self._poison(fn(data, self.send_idx, self.recv_valid))
+
+    def get_exchange_cost(self):
+        """Per-device count of ghosts shipped away (reference
+        domain.py:125-136)."""
+        return np.asarray(jnp.sum(self.send_idx >= 0, axis=(1, 2)))
+
+
+def home_block(pos0_grid, N0, D):
+    """Home slab/device of an axis-0 grid coordinate."""
+    rows = N0 // D
+    return (jnp.floor(jnp.mod(pos0_grid, N0)) // rows).astype(
+        jnp.int32) % D
+
+
+def decompose(procmesh, pos0_grid, N0, npart, smoothing,
+              kside=None, capacity=None):
+    """Build a :class:`ShardedLayout` for particles whose axis-0 grid
+    coordinate is ``pos0_grid`` (npart, traced ok).
+
+    The gridnd_fill role (reference _domain.pyx:9-122) on static
+    shapes: per device block, enumerate which of the b±m slabs each
+    particle's smoothing ball touches and pack fixed-capacity send
+    channels.
+
+    Parameters
+    ----------
+    smoothing : float — window reach in grid cells (support * 0.5).
+    kside : int — ghost channels per side.  Particles may roam up to
+        ``kside*rows - smoothing`` cells from their home slab before
+        a reshard is required (checked; violations poison results).
+    capacity : int — ghost slots per channel; defaults to the block
+        size (never overflows).  Smaller saves memory and ICI
+        bandwidth; overflow poisons results.
+    """
+    D = procmesh.size
+    rows = N0 // D
+    if N0 % D != 0:
+        raise ValueError(
+            "slab decomposition needs Nmesh[0] %% n_devices == 0 "
+            "(got %d %% %d); pad the mesh or use fewer devices"
+            % (N0, D))
+    if kside is None:
+        # window reach plus one cell of drift headroom, capped at the
+        # ring limit below
+        kside = max(1, int(np.ceil((float(smoothing) + 1.0) / rows)))
+        kside = min(kside, max(1, (D - 1) // 2))
+    if npart % D != 0:
+        raise ValueError(
+            "sharded particle arrays need npart %% n_devices == 0 "
+            "(got %d %% %d); pad the particle set" % (npart, D))
+    if 2 * kside + 1 > D:
+        raise ValueError(
+            "kside=%d ghost reach wraps the %d-device ring; use a "
+            "smaller kside or more devices" % (kside, D))
+    nl = npart // D
+    if capacity is None:
+        capacity = nl
+    capacity = int(min(capacity, nl))
+    s = float(smoothing)
+    if s > kside * rows:
+        raise ValueError(
+            "smoothing %g exceeds the kside=%d ghost reach (%d rows); "
+            "increase kside" % (s, kside, kside * rows))
+    ax = procmesh.axis
+    chans = _channels(kside)
+
+    def plan(g):
+        # g: (nl,) local block of axis-0 grid coordinates
+        b = lax.axis_index(ax)
+        gm = jnp.mod(g, N0)
+        fdt = gm.dtype
+        center = (b.astype(fdt) + 0.5) * rows
+        gc = gm - N0 * jnp.round((gm - center) / N0)
+        dlo = jnp.floor((gc - s) / rows).astype(jnp.int32) - b
+        dhi = jnp.floor((gc + s) / rows).astype(jnp.int32) - b
+        bad = jnp.sum(jnp.where((dlo < -kside) | (dhi > kside), 1, 0))
+        arange = jnp.arange(nl, dtype=jnp.int32)
+        bufs = []
+        over = jnp.zeros((), jnp.int32)
+        for m, side in chans:
+            mask = (dlo <= -m) if side < 0 else (dhi >= m)
+            rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+            slot = jnp.where(mask & (rank < capacity), rank, capacity)
+            buf = jnp.full((capacity + 1,), -1, jnp.int32)
+            buf = buf.at[slot].set(arange, mode='drop')[:capacity]
+            over = over + jnp.maximum(
+                jnp.sum(mask.astype(jnp.int32)) - capacity, 0)
+            bufs.append(buf)
+        idx = jnp.stack(bufs)[None]          # (1, C, cap)
+        badness = lax.psum(
+            (bad + over).astype(jnp.float32), ax)
+        return idx, badness
+
+    fn = shard_map(plan, mesh=procmesh.mesh, in_specs=P(ax),
+                   out_specs=(P(ax, None, None), P()))
+    send_idx, badcount = fn(jnp.asarray(pos0_grid))
+    badness = jnp.where(badcount > 0, jnp.nan, 0.0).astype(jnp.float32)
+
+    # validity of received slots = the permuted validity of sent slots
+    def valid_fn(idx):
+        idx = idx[0]
+        outs = []
+        for c, (m, side) in enumerate(chans):
+            ok = idx[c] >= 0
+            perm = [(j, (j + side * m) % D) for j in range(D)]
+            outs.append(lax.ppermute(ok, ax, perm))
+        return jnp.stack(outs)[None]
+
+    vfn = shard_map(valid_fn, mesh=procmesh.mesh,
+                    in_specs=P(ax, None, None),
+                    out_specs=P(ax, None, None))
+    recv_valid = vfn(send_idx)
+
+    return ShardedLayout(procmesh, send_idx, recv_valid, badness,
+                         npart, N0, rows, kside, capacity, smoothing)
+
+
+def reshard(procmesh, pos0_grid, N0, *arrays):
+    """Globally re-sort particle arrays so block b holds exactly the
+    particles of slab b — the mpsort role (reference uses mpsort for
+    global re-layout, pm.py:389-448) restoring the residency contract
+    of :func:`decompose`.
+
+    After the sort, block b holds the b-th equal-count quantile of the
+    home-block ordering.  When slab populations are uneven the split
+    points sit a few particles off the exact slab boundaries, so edge
+    particles land one block from home — well inside the kside ghost
+    reach that :func:`decompose` (which re-validates residency and
+    poisons on violation) tolerates.
+    """
+    D = procmesh.size
+    home = home_block(pos0_grid, N0, D)
+    # stable key: home block major, input order minor — one global
+    # sort replaces the ragged alltoall of mpsort
+    order = jnp.argsort(home, stable=True)
+    arrays = tuple(jnp.asarray(a) for a in arrays)
+    out = tuple(jnp.take(a, order, axis=0) for a in arrays)
+    ax = procmesh.axis
+    out = tuple(jax.lax.with_sharding_constraint(
+        a, jax.sharding.NamedSharding(
+            procmesh.mesh, P(ax, *([None] * (a.ndim - 1)))))
+        for a in out)
+    if len(arrays) == 1:
+        return out[0]
+    return out
+
+
+# --- sharded paint / readout -------------------------------------------
+#
+# The device-mesh execution of the reference's hottest loops
+# (pmesh/pm.py:1795-1869 paint, 745-791 readout): ghost images are
+# delivered by the ShardedLayout, then each device paints/reads ONLY
+# its own (rows, N1, ...) slab — stencil cells outside the slab are
+# dropped because the neighboring device's image of the same particle
+# covers them (exactly the reference's local-canvas contract).
+
+def _grid_coords(layout, pos, scale):
+    """Exchange simulation-unit positions as per-axis grid coordinate
+    ghost arrays; axis 0 arrives in each receiver's unwrapped frame."""
+    pos = jnp.asarray(pos)
+    ndim = pos.shape[-1]
+    g0 = pos[:, 0] * jnp.asarray(scale[0], pos.dtype)
+    eg0 = layout.exchange_grid0(g0)
+    egs = [eg0]
+    for d in range(1, ndim):
+        gd = pos[:, d] * jnp.asarray(scale[d], pos.dtype)
+        egs.append(layout.exchange(gd))
+    return egs
+
+
+def _exchange_mass(layout, mass, npart, dtype):
+    """Per-image weights: the mass exchanged with 0 fill, so empty
+    ghost slots paint nothing."""
+    m = jnp.broadcast_to(jnp.asarray(mass, dtype=dtype), (npart,))
+    return layout.exchange(m, fill=0)
+
+
+def paint_sharded(layout, pos, mass, shape, scale, window,
+                  diffdir=None, dtype=None, base=None):
+    """Paint a device-sharded particle set onto the slab-sharded mesh.
+
+    Parameters
+    ----------
+    pos : (npart, ndim) simulation-unit positions (sharded or not).
+    mass : scalar or (npart,) weights.
+    shape : global mesh shape; shape[0] must be layout.N0.
+    scale : per-axis sim->grid factors (the pm affine; translate 0).
+    base : optional (shape) array to accumulate onto (hold=True).
+
+    Returns the (shape) global RealField value, sharded P('x', ...).
+    """
+    from ..ops import paint as _paint_ops
+    pos = jnp.asarray(pos)
+    ndim = pos.shape[-1]
+    shape = tuple(int(n) for n in shape)
+    if shape[0] != layout.N0:
+        raise ValueError("mesh shape %s does not match the layout's "
+                         "N0=%d" % (shape, layout.N0))
+    if dtype is None:
+        dtype = pos.dtype
+    egs = _grid_coords(layout, pos, scale)
+    em = _exchange_mass(layout, mass, pos.shape[0], dtype)
+
+    ax = layout.procmesh.axis
+    rows = layout.rows
+    lshape = (rows,) + shape[1:]
+    # local paint: axis 0 unwrapped/no-period (ghosts cover the
+    # straddle), axes 1.. periodic as usual
+    period = (0,) + shape[1:]
+
+    def local(em, *egs):
+        b = lax.axis_index(ax)
+        p = jnp.stack(
+            [egs[0] - b.astype(egs[0].dtype) * rows] + list(egs[1:]),
+            axis=-1)
+        zeros = jnp.zeros(lshape, dtype=dtype)
+        return _paint_ops.paint(zeros, p, mass=em, window=window,
+                                scale=1.0, translate=0.0,
+                                period=period, diffdir=diffdir)
+
+    fn = shard_map(local, mesh=layout.procmesh.mesh,
+                   in_specs=(P(ax),) * (1 + len(egs)),
+                   out_specs=P(ax, *([None] * (ndim - 1))))
+    out = fn(em, *egs)
+    # NaN coordinates of a poisoned plan are silently dropped by the
+    # bounds check; surface the poison in the mesh itself
+    out = out + layout.badness.astype(out.dtype)
+    if base is not None:
+        out = out + base
+    return out
+
+
+def readout_sharded(layout, meshes, pos, scale, window, diffdir=None):
+    """Read slab-sharded meshes at a device-sharded particle set.
+
+    ``meshes``: one (shape) array or a tuple sharing the stencil
+    computation (the batched force-readout fast path).  Returns per
+    mesh the (npart,) values in the original particle ordering.
+    """
+    from ..ops import paint as _paint_ops
+    single = not isinstance(meshes, (tuple, list))
+    meshes = (meshes,) if single else tuple(meshes)
+    meshes = tuple(jnp.asarray(m) for m in meshes)
+    pos = jnp.asarray(pos)
+    ndim = pos.shape[-1]
+    shape = meshes[0].shape
+    if shape[0] != layout.N0:
+        raise ValueError("mesh shape %s does not match the layout's "
+                         "N0=%d" % (shape, layout.N0))
+    egs = _grid_coords(layout, pos, scale)
+
+    ax = layout.procmesh.axis
+    rows = layout.rows
+    period = (0,) + tuple(shape[1:])
+    nmesh = len(meshes)
+
+    def local(*args):
+        lmeshes = args[:nmesh]
+        egs = args[nmesh:]
+        b = lax.axis_index(ax)
+        p = jnp.stack(
+            [egs[0] - b.astype(egs[0].dtype) * rows] + list(egs[1:]),
+            axis=-1)
+        vals = _paint_ops.readout(
+            lmeshes[0] if nmesh == 1 else tuple(lmeshes), p,
+            window=window, scale=1.0, translate=0.0, period=period,
+            diffdir=diffdir)
+        if nmesh == 1:
+            return (vals,)
+        return tuple(vals)
+
+    mesh_spec = P(ax, *([None] * (ndim - 1)))
+    fn = shard_map(local, mesh=layout.procmesh.mesh,
+                   in_specs=(mesh_spec,) * nmesh
+                   + (P(ax),) * len(egs),
+                   out_specs=(P(ax),) * nmesh)
+    partials = fn(*(meshes + tuple(egs)))
+    outs = tuple(layout.gather(v, mode='sum') for v in partials)
+    return outs[0] if single else outs

@@ -603,6 +603,21 @@ class RealField(Field):
             resampler = self.pm.resampler
         resampler = FindResampler(resampler)
 
+        from .parallel.exchange import ShardedLayout, readout_sharded
+        if isinstance(layout, ShardedLayout):
+            if hsml is not None:
+                raise NotImplementedError(
+                    "per-particle hsml is not supported on the "
+                    "sharded ghost-exchange path yet")
+            if np.any(np.asarray(transform.translate) != 0):
+                raise NotImplementedError(
+                    "the sharded readout assumes a translate-0 affine")
+            value = (self.value.real if _fft.is_c2c(self.dtype)
+                     else self.value)
+            return readout_sharded(layout, value, pos,
+                                   transform.scale, resampler.window,
+                                   diffdir=gradient)
+
         if layout is not None:
             pos = layout.exchange(pos)
             hsml = layout.exchange(hsml) if hsml is not None else None
@@ -1078,13 +1093,21 @@ class ParticleMesh(object):
             id[...] += isource[:, i]
         return source, id
 
-    def decompose(self, pos, smoothing=None, transform=None):
+    def decompose(self, pos, smoothing=None, transform=None,
+                  kside=None, capacity=None):
         """Domain-decomposition layout (pm.py:1754-1793).
 
-        With global arrays every particle already sees the whole mesh,
-        so the returned Layout is an identity routing plan; it exists
-        for API parity and to carry ghost bookkeeping on device-sharded
-        particle sets (parallel/domain.py).
+        Single device: every particle already sees the whole mesh —
+        the Layout is the trivial single-domain routing plan.
+
+        On a device mesh (``procmesh``): builds the capacity-padded
+        :class:`~pmesh_tpu.parallel.exchange.ShardedLayout` ghost
+        routing plan — particle arrays stay sharded over the mesh
+        axis and ghost copies ride ``ppermute`` to the neighboring
+        slabs (the reference's Layout.exchange role,
+        domain.py:138-206).  Particles must reside near their home
+        slab (see parallel/exchange.py residency contract;
+        :meth:`reshard_particles` restores it).
         """
         if smoothing is None:
             smoothing = self.resampler
@@ -1093,7 +1116,28 @@ class ParticleMesh(object):
             smoothing = smoothing.support * 0.5
         except TypeError:
             pass
+        if self.procmesh is not None and self.procmesh.size > 1:
+            from .parallel import exchange as _ex
+            pos = jnp.asarray(pos)
+            g0 = pos[:, 0] * jnp.asarray(self.affine.scale[0],
+                                         pos.dtype)
+            return _ex.decompose(self.procmesh, g0, int(self.Nmesh[0]),
+                                 pos.shape[0], float(smoothing),
+                                 kside=kside, capacity=capacity)
         return Layout(smoothing=smoothing, npart=len(pos))
+
+    def reshard_particles(self, pos, *arrays):
+        """Globally re-sort particle arrays into home-slab order so
+        :meth:`decompose`'s residency contract holds (the mpsort
+        re-layout role, reference pm.py:389-448)."""
+        if self.procmesh is None or self.procmesh.size <= 1:
+            return (pos,) + tuple(arrays) if arrays else pos
+        from .parallel import exchange as _ex
+        pos = jnp.asarray(pos)
+        g0 = pos[:, 0] * jnp.asarray(self.affine.scale[0], pos.dtype)
+        out = _ex.reshard(self.procmesh, g0, int(self.Nmesh[0]),
+                          pos, *arrays)
+        return out
 
     def paint(self, pos, hsml=None, mass=1.0, resampler=None, transform=None,
               hold=False, gradient=None, layout=None, out=None):
@@ -1107,6 +1151,26 @@ class ParticleMesh(object):
         if resampler is None:
             resampler = self.resampler
         resampler = FindResampler(resampler)
+
+        from .parallel.exchange import ShardedLayout, paint_sharded
+        if isinstance(layout, ShardedLayout):
+            if hsml is not None:
+                raise NotImplementedError(
+                    "per-particle hsml is not supported on the "
+                    "sharded ghost-exchange path yet")
+            if np.any(np.asarray(transform.translate) != 0):
+                raise NotImplementedError(
+                    "the sharded paint assumes a translate-0 affine "
+                    "(the global-grid transform)")
+            if out is None:
+                out = self.create(type=RealField)
+            base = out.value if hold else None
+            painted = paint_sharded(
+                layout, pos, mass, tuple(self.Nmesh), transform.scale,
+                resampler.window, diffdir=gradient, dtype=self._rtype,
+                base=base)
+            out.value = painted.astype(out.dtype)
+            return out
 
         if layout is not None:
             pos = layout.exchange(pos)
