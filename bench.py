@@ -8,21 +8,24 @@ shape; no host round trip inside the loop).
 
 TPU-native implementation: lattice fast path (mesh-shaped per-axis
 displacement state, shift-sum Pallas paint/readout — ops/gridpm.py)
-and MXU DFT-matmul FFTs with the spectral force kernel folded into
-the inverse DFT matrices (ops/fft_mxu.py).
+and MXU DFT-matmul FFTs with Cooley-Tukey factored x/y axes, the
+z-Nyquist plane split off for 128-lane alignment, and the spectral
+force kernel folded into the inverse DFT matrices (ops/fft_mxu.py).
 
-Two precision configs are timed:
-- mxu_bf16 (HEADLINE): bf16 MXU matmuls in the FFT passes; max
-  relative force error 1.6e-4 vs the f32 pipeline — an order of
-  magnitude below the SuperLanczos-vs-spectral differentiation
-  stencil difference.  State, paint and readout stay f32.
-- mxu (extras, 'f32_exact_step_ms' = the FULL step at this config):
-  f32-exact FFTs (3-pass matmuls, 6e-8 vs jnp.fft).
+HEADLINE is the f32-EXACT step (FFT matmuls at
+precision='float32', 6e-8 vs jnp.fft).  Extras:
+- bf16_step_ms: single-pass bf16 FFT matmuls (1.6e-4 relative force
+  error — an order below the SuperLanczos-vs-spectral stencil
+  difference); state/paint/readout stay f32.
+- realistic_step_ms: f32 step with late-time displacement amplitude
+  (bounds (-2, 3) cells -> nv=6 -> 216 shift passes vs 27), the
+  honest deep-run cost of the lattice path.
 
 The north-star target is the full 1024^3 step < 100 ms on v5e-8.
 1024^3 on 8 chips is 512^3 of work per chip, so the single-chip
-512^3 step time approximates the 8-chip 1024^3 step (modulo ICI
-transposes); vs_baseline = 100 ms / measured.
+512^3 step approximates the 8-chip 1024^3 step (modulo the ICI
+transposes, which the pencil FFT does in 2 all_to_alls);
+vs_baseline = 100 ms / measured.
 
 Prints ONE JSON line.
 """
@@ -48,24 +51,21 @@ def main():
     solver = Solver(pm)
 
     @jax.jit
-    def make_disp(key):
+    def make_disp(key, lo, hi):
         ks = jax.random.split(key, 3)
-        # [0.05, 1.95) cells: strictly inside the (0, 2) bounds so the
-        # tiny benchmark kicks cannot push a particle out of range
+        # strictly inside (lo, hi) so the tiny benchmark kicks cannot
+        # push a particle out of the static bounds
+        pad = 0.05 * (hi - lo)
         return tuple(
-            0.05 + 1.9 * jax.random.uniform(k, (N, N, N),
-                                            dtype=jnp.float32)
+            (lo + pad) + (hi - lo - 2 * pad)
+            * jax.random.uniform(k, (N, N, N), dtype=jnp.float32)
             for k in ks)
 
-    disp = make_disp(jax.random.key(0))
-    bounds = (0.0, 2.0)
-
-    def make_scan(nstep, fft):
+    def make_scan(nstep, fft, bounds):
         @jax.jit
         def run(disp):
             def step(S, _):
                 F = solver.force_lattice(S, bounds=bounds, fft=fft)
-                # tiny kick-drift so displacements stay in bounds
                 S = tuple(s + 1e-6 * f for s, f in zip(S, F))
                 return S, None
             S, _ = jax.lax.scan(step, disp, None, length=nstep)
@@ -77,10 +77,11 @@ def main():
         # tunnel; force a device->host transfer of a reduction
         return float(jnp.sum(S[0][0, 0, :8]))
 
-    def measure(fft):
+    def measure(fft, bounds):
+        disp = make_disp(jax.random.key(0), *bounds)
         n_short, n_long = 1, 6
-        run_short = make_scan(n_short, fft)
-        run_long = make_scan(n_long, fft)
+        run_short = make_scan(n_short, fft, bounds)
+        run_long = make_scan(n_long, fft, bounds)
         sync(run_short(disp))   # compile
         sync(run_long(disp))
         t0 = time.perf_counter()
@@ -91,8 +92,9 @@ def main():
         t_long = time.perf_counter() - t0
         return (t_long - t_short) / (n_long - n_short) * 1000.0
 
-    dt_f32 = measure('mxu')
-    dt = measure('mxu_bf16')
+    dt = measure('mxu', (0.0, 2.0))            # HEADLINE: f32-exact
+    dt_bf16 = measure('mxu_bf16', (0.0, 2.0))
+    dt_real = measure('mxu', (-2.0, 3.0))      # nv=6, late-time regime
 
     mp_per_s = (N ** 3 / 1e6) / (dt / 1000.0)
     result = {
@@ -102,11 +104,12 @@ def main():
         "vs_baseline": round(100.0 / dt, 3),
         "extra": {
             "config": "512^3 CIC paint + r2c + 3x(force c2r) + "
-                      "readout, chained scan, single chip; lattice "
-                      "shift-sum pallas paint/readout (f32) + MXU "
-                      "DFT-matmul FFT with bf16 matmuls (1.6e-4 rel "
-                      "force err vs f32 pipeline)",
-            "f32_exact_step_ms": round(dt_f32, 3),
+                      "readout, chained scan, single chip, f32-EXACT "
+                      "(6e-8 vs jnp.fft): lattice shift-sum pallas "
+                      "paint/readout + Cooley-Tukey MXU FFT "
+                      "(split-Nyquist, folded force kernels)",
+            "bf16_step_ms": round(dt_bf16, 3),
+            "realistic_nv6_step_ms": round(dt_real, 3),
             "particles_Mps": round(mp_per_s, 1),
             "device": str(jax.devices()[0]),
         },

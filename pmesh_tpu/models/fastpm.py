@@ -398,9 +398,44 @@ class Solver(object):
             self._mxu_cache = (
                 tuple((k ** 2).astype('f4') for k in ks), tuple(kd))
         k2_np, kd = self._mxu_cache
-        k2_1d = tuple(jnp.asarray(k) for k in k2_np)
         pmh = fpm.procmesh if (fpm.procmesh is not None
                                and fpm.procmesh.size > 1) else None
+        # Cooley-Tukey factored x/y axes when they split as R*128k:
+        # R-fold fewer MACs at full MXU contraction, with the
+        # z-Nyquist plane split off so every block is 128-lane
+        # aligned (fft_mxu ct2 pipeline).  The spectrum is
+        # chunk-permuted, so permute the k^2 tables to match; kvecs
+        # stay natural (the CT inverse permutes internally).
+        ct = (pmh is None
+              and fft_mxu._ct_factor(shape[0])[0] > 1
+              and fft_mxu._ct_factor(shape[1])[0] > 1
+              and shape[2] % 2 == 0)
+
+        def _invk2(k2):
+            return jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0),
+                             0.0)
+
+        if ct:
+            Zm = shape[2] // 2
+            k2x = fft_mxu._ct_table(shape[0], k2_np[0])
+            k2y = fft_mxu._ct_table(shape[1], k2_np[1])
+            k2z = k2_np[2][:Zm]
+            r, i, nqr, nqi = fft_mxu.fft3_real_forward_half_ct2(
+                rho, precision=precision)
+            tie = 0.0 * r[0, 0, 0]
+            k2 = ((jnp.asarray(k2x) + tie)[:, None, None]
+                  + jnp.asarray(k2y)[None, :, None]
+                  + jnp.asarray(k2z)[None, None, :])
+            invk2 = _invk2(k2)
+            k2p = (jnp.asarray(k2_np[0])[:, None]
+                   + jnp.asarray(k2_np[1])[None, :]
+                   + float(k2_np[2][Zm]) + tie)
+            invk2p = _invk2(k2p)
+            return fft_mxu.fft3_real_inverse_grad3_half_ct2(
+                r * invk2, i * invk2, nqr * invk2p, nqi * invk2p,
+                n2=shape[2], kvecs=kd, precision=precision)
+
+        k2_1d = tuple(jnp.asarray(k) for k in k2_np)
         if pmh is not None:
             # pencil execution: pass 1 local per slab, all_to_all
             # transpose, x-pass local on the transposed layout
@@ -415,8 +450,7 @@ class Solver(object):
         tie = 0.0 * r[0, 0, 0]
         k2 = ((k2_1d[0] + tie)[:, None, None]
               + k2_1d[1][None, :, None] + k2_1d[2][None, None, :])
-        invk2 = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0),
-                          0.0)
+        invk2 = _invk2(k2)
         pr = r * invk2
         pi = i * invk2
         if pmh is not None:

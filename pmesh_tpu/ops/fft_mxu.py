@@ -376,12 +376,16 @@ def _dft_half_np(n, zh):
     return W.real.astype(np.float32), W.imag.astype(np.float32)
 
 
-def _irfft_mats_np(n, zh, grad_kvec=None):
+def _irfft_mats_np(n, zh, grad_kvec=None, nyquist_last=True):
     """(A, B) with out = Zr @ A + Zi @ B reconstructing the real
-    inverse along z; grad_kvec folds an extra i*k_z factor."""
+    inverse along z; grad_kvec folds an extra i*k_z factor.
+
+    nyquist_last=False: the zh columns exclude the Nyquist mode
+    (the split-Nyquist pipeline handles it separately), so the last
+    stored column is an ordinary doubled mode."""
     m = np.full(zh, 2.0)
     m[0] = 1.0
-    if n % 2 == 0:
+    if n % 2 == 0 and nyquist_last:
         m[-1] = 1.0
     theta = 2 * np.pi * np.arange(zh)[:, None] * np.arange(n)[None, :] / n
     c = np.cos(theta) * m[:, None]
@@ -529,6 +533,585 @@ def fft3_real_inverse_grad3_half(r, i, n2, kvecs, precision=None):
     fz = zypass(sr, si, wy, (A_g, B_g))
     gr, gi = xpass(r, i, wx_g)
     fx = zypass(gr, gi, wy, (A_p, B_p))
+    return fx, fy, fz
+
+
+# --- Cooley-Tukey factored axes ------------------------------------------
+#
+# A dense length-N DFT matmul costs N MACs per element.  Splitting
+# N = R * M (radix R, M kept at >=128 so the MXU contraction stays
+# full) costs M MACs per element in ONE matmul per chunk plus an
+# R-way VPU butterfly:
+#
+#   x[n], n = r*M + m  (R contiguous sublane chunks — no strided
+#   VMEM access anywhere)
+#   U_j[m]    = sum_r x[r*M + m] * W_R^{r j}          (VPU butterfly)
+#   X[j + Rq] = sum_m U_j[m] * W_M^{q m} * W_N^{m j}  (per-chunk matmul,
+#                twiddle folded into the matrix columns — free)
+#
+# The spectrum is stored CHUNK-PERMUTED: slot j*M + q holds mode
+# j + R*q.  Only this module's filters ever index the spectrum, so
+# the permutation is just a host-side reorder of the 1-d wavenumber
+# tables (_ct_permute).  The inverse consumes the permuted layout:
+#
+#   Y_j[m]   = sum_q X_j[q] * W_M^{-m q} * W_N^{-m j} (rows folded)
+#   x[r*M+m] = sum_j W_R^{-r j} * Y_j[m]              (VPU butterfly)
+#
+# and a spectral i*k gradient folds into the per-chunk inverse
+# matrix columns exactly like the dense _fold_i_freq.
+# MAC reduction: R=4 at N=512, R=8 at N=1024 — 4x/8x fewer MACs in
+# the x/y stages at full MXU contraction.
+
+def _ct_factor(n):
+    """(R, M) split: largest radix in {8, 4, 2} keeping M a multiple
+    of 128 (full MXU contraction).  (1, n) means stay dense."""
+    for R in (8, 4, 2):
+        if n % R == 0 and (n // R) % 128 == 0:
+            return R, n // R
+    return 1, n
+
+
+def _ct_permute(n):
+    """slot index of each MODE: mode k is stored at slot
+    (k % R)*M + k // R.  ``natural[k] = stored[_ct_permute(n)[k]]``
+    recovers natural order from a stored axis."""
+    R, M = _ct_factor(n)
+    k = np.arange(n)
+    return (k % R) * M + k // R
+
+
+def _ct_table(n, table):
+    """reorder a natural-order per-axis table (wavenumbers, k^2) into
+    the stored (slot) order: slot j*M + q holds mode j + R*q."""
+    R, M = _ct_factor(n)
+    s = np.arange(n)
+    return np.asarray(table)[(s // M) + R * (s % M)]
+
+
+def _ct_fwd_mats_np(n):
+    """per-chunk forward matrices (R, M, M): W_j[q, m] =
+    W_M^{qm} * W_N^{mj} (twiddle in the columns)."""
+    R, M = _ct_factor(n)
+    q = np.arange(M)
+    m = np.arange(M)
+    Wr = np.empty((R, M, M), np.float32)
+    Wi = np.empty((R, M, M), np.float32)
+    for j in range(R):
+        W = np.exp(-2j * np.pi * (np.outer(q, m) / M + m[None, :] * j / n))
+        Wr[j] = W.real
+        Wi[j] = W.imag
+    return Wr, Wi
+
+
+def _ct_inv_mats_np(n, fold_kvec=None):
+    """per-chunk inverse matrices (R, M, M): W_j[m, q] =
+    W_M^{-mq} * W_N^{-mj}, optionally with diag(i * k_perm_j) folded
+    into the columns (the CT analog of _fold_i_freq)."""
+    R, M = _ct_factor(n)
+    q = np.arange(M)
+    m = np.arange(M)
+    Wr = np.empty((R, M, M), np.float32)
+    Wi = np.empty((R, M, M), np.float32)
+    kv = None if fold_kvec is None else np.asarray(fold_kvec,
+                                                  np.float64)
+    for j in range(R):
+        W = np.exp(2j * np.pi * (np.outer(m, q) / M + m[:, None] * j / n))
+        if kv is not None:
+            W = W * (1j * kv[j + R * q])[None, :]
+        Wr[j] = W.real
+        Wi[j] = W.imag
+    return Wr, Wi
+
+
+def _butter(R, sign):
+    """numpy complex butterfly constants W_R^{sign * r j}."""
+    r = np.arange(R)
+    return np.exp(sign * 2j * np.pi * np.outer(r, r) / R)
+
+
+def _cmadd(acc, xr, xi, c):
+    """acc (r, i) += c * (xr + i xi) with trivial-coefficient
+    strength reduction (c from the butterfly table: many are
+    0/+-1/+-i)."""
+    ar, ai = acc
+    cr, ci = float(np.real(c)), float(np.imag(c))
+
+    def term(coef, a, b):
+        # out_r += coef*a ; helper applied per component
+        if a is None or abs(coef) < 1e-30:
+            return b
+        t = a if abs(coef - 1) < 1e-12 else (
+            -a if abs(coef + 1) < 1e-12 else a * coef)
+        return t if b is None else b + t
+
+    ar = term(cr, xr, ar)
+    ar = term(-ci, xi, ar)
+    ai = term(ci, xr, ai)
+    ai = term(cr, xi, ai)
+    return ar, ai
+
+
+def _ct_fwd_apply(xr, xi, wr, wi, n, prec):
+    """CT transform along axis 0 of (n, W) values inside a kernel.
+    xi may be None (real input).  wr/wi are refs/values (R, M, M).
+    Returns (out_r, out_i) in the chunk-permuted order."""
+    R, M = _ct_factor(n)
+    Wd = xr.shape[1]
+    B = _butter(R, -1)
+    xs_r = xr.reshape(R, M, Wd)
+    xs_i = None if xi is None else xi.reshape(R, M, Wd)
+    outs_r, outs_i = [], []
+    for j in range(R):
+        acc = (None, None)
+        for r in range(R):
+            acc = _cmadd(acc, xs_r[r],
+                         None if xs_i is None else xs_i[r], B[r, j])
+        ur, ui = acc
+        wjr = wr[j]
+        wji = wi[j]
+        if ui is None:
+            outs_r.append(_mm(wjr, ur, prec))
+            outs_i.append(_mm(wji, ur, prec))
+        else:
+            outs_r.append(_mm(wjr, ur, prec) - _mm(wji, ui, prec))
+            outs_i.append(_mm(wjr, ui, prec) + _mm(wji, ur, prec))
+    return (jnp.concatenate(outs_r, 0), jnp.concatenate(outs_i, 0))
+
+
+def _ct_inv_apply(xr, xi, wr, wi, n, prec, real_out=False):
+    """inverse CT along axis 0 of chunk-permuted (n, W) values.
+    Returns (out_r, out_i) in natural order (out_i None when
+    real_out)."""
+    R, M = _ct_factor(n)
+    Wd = xr.shape[1]
+    B = _butter(R, +1)
+    ys = []
+    for j in range(R):
+        pr = xr[j * M:(j + 1) * M]
+        pi = xi[j * M:(j + 1) * M]
+        wjr = wr[j]
+        wji = wi[j]
+        yr = _mm(wjr, pr, prec) - _mm(wji, pi, prec)
+        yi = _mm(wjr, pi, prec) + _mm(wji, pr, prec)
+        ys.append((yr, yi))
+    outs_r, outs_i = [], []
+    for r in range(R):
+        acc = (None, None)
+        for j in range(R):
+            acc = _cmadd(acc, ys[j][0], ys[j][1], B[r, j])
+        outs_r.append(acc[0])
+        if not real_out:
+            outs_i.append(acc[1])
+    out_r = jnp.concatenate(outs_r, 0)
+    if real_out:
+        return out_r, None
+    return out_r, jnp.concatenate(outs_i, 0)
+
+
+# --- CT kernels (hermitian-half pipeline, x/y axes factored) -------------
+
+def _zy_forward_real_h_ct(BX, N1, N2, Zh, prec=None):
+    """pass 1 with the y axis Cooley-Tukey factored: dense half-rfft
+    z matmuls, then per-plane CT-y (output y-permuted)."""
+    def kernel(x_ref, wzr, wzi, wyr, wyi, or_ref, oi_ref):
+        p = x_ref[...].reshape(BX * N1, N2)
+        zr = _mm(p, wzr[...], prec).reshape(BX, N1, Zh)
+        zi = _mm(p, wzi[...], prec).reshape(BX, N1, Zh)
+        for b in range(BX):
+            yr, yi = _ct_fwd_apply(zr[b], zi[b], wyr, wyi, N1, prec)
+            or_ref[b] = yr
+            oi_ref[b] = yi
+    return kernel
+
+
+def _x_transform_ct(N0, BY, BZ, scale, prec=None, inverse=False):
+    """x-axis CT transform of (N0, BY, BZ) blocks: forward consumes
+    natural order and emits x-permuted; inverse the opposite."""
+    flat = (BZ % 128 == 0)
+
+    def one(br, bi, wxr, wxi):
+        if inverse:
+            rr, ii = _ct_inv_apply(br, bi, wxr, wxi, N0, prec)
+        else:
+            rr, ii = _ct_fwd_apply(br, bi, wxr, wxi, N0, prec)
+        return rr * scale, ii * scale
+
+    def kernel(xr_ref, xi_ref, wxr, wxi, or_ref, oi_ref):
+        if flat:
+            br = xr_ref[...].reshape(N0, BY * BZ)
+            bi = xi_ref[...].reshape(N0, BY * BZ)
+            rr, ii = one(br, bi, wxr, wxi)
+            or_ref[...] = rr.reshape(N0, BY, BZ)
+            oi_ref[...] = ii.reshape(N0, BY, BZ)
+            return
+        for b in range(BY):
+            rr, ii = one(xr_ref[:, b, :], xi_ref[:, b, :], wxr, wxi)
+            or_ref[:, b, :] = rr
+            oi_ref[:, b, :] = ii
+    return kernel
+
+
+def _zy_inverse_to_real_h_ct(BX, N1, n2, Zh, prec=None):
+    """inverse pass: CT-y inverse (input y-permuted) then dense
+    irfft-as-matmul along z."""
+    def kernel(xr_ref, xi_ref, wyr, wyi, A, B, o_ref):
+        for b in range(BX):
+            yr, yi = _ct_inv_apply(xr_ref[b], xi_ref[b], wyr, wyi,
+                                   N1, prec)
+            o_ref[b] = _mm(yr, A[...], prec) + _mm(yi, B[...], prec)
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=('norm', 'precision'))
+def fft3_real_forward_half_ct(x, norm=True, precision=None):
+    """hermitian-half forward FFT with CT-factored x and y axes.
+
+    Returns (r, i) of shape (N0, N1, Zh) with the x and y axes in the
+    CHUNK-PERMUTED order (see _ct_permute): slot j*M+q holds mode
+    j+R*q.  Pair with fft3_real_inverse_grad3_half_ct and permute any
+    per-axis spectral tables with _ct_permute.
+    """
+    N0, N1, N2 = x.shape
+    Zh = N2 // 2 + 1
+    Rx, Mx = _ct_factor(N0)
+    Ry, My = _ct_factor(N1)
+    if Rx == 1 or Ry == 1:
+        raise ValueError("CT needs Nmesh[0] and Nmesh[1] to factor "
+                         "as R*128k (got %d, %d); use the dense "
+                         "fft3_real_forward_half" % (N0, N1))
+    wzr, wzi = (jnp.asarray(a) for a in _dft_half_np(N2, Zh))
+    wy = _ct_fwd_mats_np(N1)
+    wx = _ct_fwd_mats_np(N0)
+    prec = _resolve_prec(precision)
+
+    BX = _pick_bx(N0, N1, Zh)
+    pr, pi = pl.pallas_call(
+        _zy_forward_real_h_ct(BX, N1, N2, Zh, prec),
+        grid=(N0 // BX,),
+        in_specs=[_xplane_spec(N1, N2, BX),
+                  _full_spec((N2, Zh)), _full_spec((N2, Zh)),
+                  _full_spec((Ry, My, My)), _full_spec((Ry, My, My))],
+        out_specs=(_xplane_spec(N1, Zh, BX), _xplane_spec(N1, Zh, BX)),
+        out_shape=(jax.ShapeDtypeStruct((N0, N1, Zh), jnp.float32),
+                   jax.ShapeDtypeStruct((N0, N1, Zh), jnp.float32)),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(x.astype(jnp.float32), wzr, wzi,
+      jnp.asarray(wy[0]), jnp.asarray(wy[1]))
+
+    scale = 1.0 / (N0 * N1 * N2) if norm else 1.0
+    BY = 8 if N1 % 8 == 0 else N1
+    rr, ii = pl.pallas_call(
+        _x_transform_ct(N0, BY, Zh, np.float32(scale), prec),
+        grid=(N1 // BY,),
+        in_specs=[
+            pl.BlockSpec((N0, BY, Zh), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N0, BY, Zh), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            _full_spec((Rx, Mx, Mx)), _full_spec((Rx, Mx, Mx))],
+        out_specs=(
+            pl.BlockSpec((N0, BY, Zh), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N0, BY, Zh), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((N0, N1, Zh), jnp.float32),
+                   jax.ShapeDtypeStruct((N0, N1, Zh), jnp.float32)),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(pr, pi, jnp.asarray(wx[0]), jnp.asarray(wx[1]))
+    return rr, ii
+
+
+@functools.partial(jax.jit, static_argnames=('n2', 'kvecs',
+                                             'precision'))
+def fft3_real_inverse_grad3_half_ct(r, i, n2, kvecs, precision=None):
+    """CT spectral force triple: inverse of
+    :func:`fft3_real_forward_half_ct` with i*k_d folded into the
+    per-chunk inverse matrices.  ``kvecs`` are NATURAL-order (the
+    permutation is applied here); same Nyquist-zero requirement as
+    the dense variant."""
+    N0, N1, Zh = r.shape
+    for d, n in ((0, N0), (1, N1)):
+        if n % 2 == 0 and abs(kvecs[d][n // 2]) > 1e-12:
+            raise ValueError(
+                "kvecs[%d] must vanish at the Nyquist index for the "
+                "half-spectrum gradient" % d)
+    prec = _resolve_prec(precision)
+    Rx, Mx = _ct_factor(N0)
+    Ry, My = _ct_factor(N1)
+    wy = _ct_inv_mats_np(N1)
+    wx = _ct_inv_mats_np(N0)
+    wx_g = _ct_inv_mats_np(N0, fold_kvec=kvecs[0])
+    wy_g = _ct_inv_mats_np(N1, fold_kvec=kvecs[1])
+    A_p, B_p = _irfft_mats_np(n2, Zh)
+    A_g, B_g = _irfft_mats_np(n2, Zh, grad_kvec=kvecs[2])
+
+    BY = 8 if N1 % 8 == 0 else N1
+    BX = _pick_bx(N0, N1, Zh)
+
+    def yspec():
+        return pl.BlockSpec((N0, BY, Zh), lambda t: (0, t, 0),
+                            memory_space=pltpu.VMEM)
+
+    def xpass(rr, ii, W):
+        return pl.pallas_call(
+            _x_transform_ct(N0, BY, Zh, np.float32(1.0), prec,
+                            inverse=True),
+            grid=(N1 // BY,),
+            in_specs=[yspec(), yspec(),
+                      _full_spec((Rx, Mx, Mx)),
+                      _full_spec((Rx, Mx, Mx))],
+            out_specs=(yspec(), yspec()),
+            out_shape=(jax.ShapeDtypeStruct((N0, N1, Zh), jnp.float32),
+                       jax.ShapeDtypeStruct((N0, N1, Zh), jnp.float32)),
+            compiler_params=_params(),
+            interpret=_interpret(),
+        )(rr, ii, jnp.asarray(W[0]), jnp.asarray(W[1]))
+
+    def zypass(rr, ii, Wy, AB):
+        return pl.pallas_call(
+            _zy_inverse_to_real_h_ct(BX, N1, n2, Zh, prec),
+            grid=(N0 // BX,),
+            in_specs=[_xplane_spec(N1, Zh, BX),
+                      _xplane_spec(N1, Zh, BX),
+                      _full_spec((Ry, My, My)),
+                      _full_spec((Ry, My, My)),
+                      _full_spec((Zh, n2)), _full_spec((Zh, n2))],
+            out_specs=_xplane_spec(N1, n2, BX),
+            out_shape=jax.ShapeDtypeStruct((N0, N1, n2), jnp.float32),
+            compiler_params=_params(),
+            interpret=_interpret(),
+        )(rr, ii, jnp.asarray(Wy[0]), jnp.asarray(Wy[1]),
+          jnp.asarray(AB[0]), jnp.asarray(AB[1]))
+
+    # shared plain x-pass for the y and z gradient components
+    sr, si = xpass(r, i, wx)
+    fy = zypass(sr, si, wy_g, (A_p, B_p))
+    fz = zypass(sr, si, wy, (A_g, B_g))
+    gr, gi = xpass(r, i, wx_g)
+    fx = zypass(gr, gi, wy, (A_p, B_p))
+    return fx, fy, fz
+
+
+# --- split-Nyquist CT pipeline --------------------------------------------
+#
+# Zh = N2//2+1 is lane-hostile: every x/y matmul on a width-257 block
+# pads to 384 lanes (1.5x wasted MXU/VMEM).  The z-Nyquist column is
+# special anyway: its z-transform weight is (-1)^n, so
+#
+#   X_nyq[x, y] = sum_n rho[x, y, n] * (-1)^n     (a VPU row sum)
+#
+# and its inverse contribution is out[x,y,n] += plane[x,y] * (-1)^n
+# (the irfft B row is exactly 0 there).  Splitting it off leaves the
+# main pipeline at a perfectly aligned width Zm = N2//2; the (N0, N1)
+# Nyquist plane rides separate tiny 2-d transforms (1/Zm of the
+# volume, natural order, plain MXU matmuls outside pallas).
+
+def _signs(n, dtype=jnp.float32):
+    """(1, n) array of (-1)^j (2-d iota: TPU-safe)."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    return jnp.where(j % 2 == 0, 1.0, -1.0).astype(dtype)
+
+
+def _zy_forward_real_h_ct2(BX, N1, N2, Zm, prec=None):
+    """pass 1, split Nyquist: half-rfft z matmuls to Zm columns + the
+    alternating-sum Nyquist plane (emitted raw, pre-x/y transforms);
+    CT-y on the main block."""
+    def kernel(x_ref, wzr, wzi, wyr, wyi, or_ref, oi_ref, nq_ref):
+        p = x_ref[...].reshape(BX * N1, N2)
+        nq_ref[...] = jnp.sum(p * _signs(N2, p.dtype),
+                              axis=1).reshape(BX, N1)
+        zr = _mm(p, wzr[...], prec).reshape(BX, N1, Zm)
+        zi = _mm(p, wzi[...], prec).reshape(BX, N1, Zm)
+        for b in range(BX):
+            yr, yi = _ct_fwd_apply(zr[b], zi[b], wyr, wyi, N1, prec)
+            or_ref[b] = yr
+            oi_ref[b] = yi
+    return kernel
+
+
+def _zy_inverse_to_real_h_ct2(BX, N1, n2, Zm, prec=None,
+                              with_plane=False):
+    """inverse pass on the Zm-wide main block; with_plane adds the
+    already-xy-inverted Nyquist plane with (-1)^n weights."""
+    def kernel(*refs):
+        if with_plane:
+            xr_ref, xi_ref, wyr, wyi, A, B, pl_ref, o_ref = refs
+        else:
+            xr_ref, xi_ref, wyr, wyi, A, B, o_ref = refs
+        for b in range(BX):
+            yr, yi = _ct_inv_apply(xr_ref[b], xi_ref[b], wyr, wyi,
+                                   N1, prec)
+            out = _mm(yr, A[...], prec) + _mm(yi, B[...], prec)
+            if with_plane:
+                out = out + pl_ref[b][:, None] * _signs(n2, out.dtype)
+            o_ref[b] = out
+    return kernel
+
+
+def _plane_fft2(nq_r, nq_i, N0, N1, sign, prec, scale=1.0):
+    """2-d complex DFT of the Nyquist plane with plain MXU matmuls
+    (symmetric DFT matrices: left-mult transforms x, right-mult y).
+    nq_i may be None (real input).  Natural order."""
+    wx = _dft_np(N0, sign)
+    wy = _dft_np(N1, sign)
+    wxr, wxi = jnp.asarray(wx[0]), jnp.asarray(wx[1])
+    wyr, wyi = jnp.asarray(wy[0]), jnp.asarray(wy[1])
+    if nq_i is None:
+        ar = _mm(wxr, nq_r, prec)
+        ai = _mm(wxi, nq_r, prec)
+    else:
+        ar = _mm(wxr, nq_r, prec) - _mm(wxi, nq_i, prec)
+        ai = _mm(wxr, nq_i, prec) + _mm(wxi, nq_r, prec)
+    sr = _mm(ar, wyr, prec) - _mm(ai, wyi, prec)
+    si = _mm(ar, wyi, prec) + _mm(ai, wyr, prec)
+    return sr * scale, si * scale
+
+
+@functools.partial(jax.jit, static_argnames=('norm', 'precision'))
+def fft3_real_forward_half_ct2(x, norm=True, precision=None):
+    """split-Nyquist CT forward: returns (r, i, nqr, nqi) — the main
+    (N0, N1, N2//2) spectrum with CHUNK-PERMUTED x/y axes and the
+    z-Nyquist plane spectrum (N0, N1) in natural x/y order."""
+    N0, N1, N2 = x.shape
+    Zm = N2 // 2
+    Rx, Mx = _ct_factor(N0)
+    Ry, My = _ct_factor(N1)
+    if Rx == 1 or Ry == 1 or N2 % 2:
+        raise ValueError("ct2 needs N0/N1 = R*128k and even N2 "
+                         "(got %s)" % ((N0, N1, N2),))
+    wzr, wzi = (jnp.asarray(a) for a in _dft_half_np(N2, Zm))
+    wy = _ct_fwd_mats_np(N1)
+    wx = _ct_fwd_mats_np(N0)
+    prec = _resolve_prec(precision)
+
+    BX = _pick_bx(N0, N1, Zm)
+    pr, pi, nq = pl.pallas_call(
+        _zy_forward_real_h_ct2(BX, N1, N2, Zm, prec),
+        grid=(N0 // BX,),
+        in_specs=[_xplane_spec(N1, N2, BX),
+                  _full_spec((N2, Zm)), _full_spec((N2, Zm)),
+                  _full_spec((Ry, My, My)), _full_spec((Ry, My, My))],
+        out_specs=(_xplane_spec(N1, Zm, BX), _xplane_spec(N1, Zm, BX),
+                   pl.BlockSpec((BX, N1), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((N0, N1, Zm), jnp.float32),
+                   jax.ShapeDtypeStruct((N0, N1, Zm), jnp.float32),
+                   jax.ShapeDtypeStruct((N0, N1), jnp.float32)),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(x.astype(jnp.float32), wzr, wzi,
+      jnp.asarray(wy[0]), jnp.asarray(wy[1]))
+
+    scale = 1.0 / (N0 * N1 * N2) if norm else 1.0
+    BY = 8 if N1 % 8 == 0 else N1
+
+    def yspec():
+        return pl.BlockSpec((N0, BY, Zm), lambda t: (0, t, 0),
+                            memory_space=pltpu.VMEM)
+
+    rr, ii = pl.pallas_call(
+        _x_transform_ct(N0, BY, Zm, np.float32(scale), prec),
+        grid=(N1 // BY,),
+        in_specs=[yspec(), yspec(),
+                  _full_spec((Rx, Mx, Mx)), _full_spec((Rx, Mx, Mx))],
+        out_specs=(yspec(), yspec()),
+        out_shape=(jax.ShapeDtypeStruct((N0, N1, Zm), jnp.float32),
+                   jax.ShapeDtypeStruct((N0, N1, Zm), jnp.float32)),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(pr, pi, jnp.asarray(wx[0]), jnp.asarray(wx[1]))
+
+    nqr, nqi = _plane_fft2(nq, None, N0, N1, -1, prec,
+                           jnp.float32(scale))
+    return rr, ii, nqr, nqi
+
+
+@functools.partial(jax.jit, static_argnames=('n2', 'kvecs',
+                                             'precision'))
+def fft3_real_inverse_grad3_half_ct2(r, i, nqr, nqi, n2, kvecs,
+                                     precision=None):
+    """split-Nyquist CT spectral force triple (see the dense variant
+    for the math).  The z-gradient's Nyquist contribution vanishes
+    (kvecs[2] is Nyquist-zero), so only fx/fy carry the plane."""
+    N0, N1, Zm = r.shape
+    for d, n in ((0, N0), (1, N1)):
+        if n % 2 == 0 and abs(kvecs[d][n // 2]) > 1e-12:
+            raise ValueError(
+                "kvecs[%d] must vanish at the Nyquist index for the "
+                "half-spectrum gradient" % d)
+    prec = _resolve_prec(precision)
+    Rx, Mx = _ct_factor(N0)
+    Ry, My = _ct_factor(N1)
+    wy = _ct_inv_mats_np(N1)
+    wx = _ct_inv_mats_np(N0)
+    wx_g = _ct_inv_mats_np(N0, fold_kvec=kvecs[0])
+    wy_g = _ct_inv_mats_np(N1, fold_kvec=kvecs[1])
+    A_p, B_p = _irfft_mats_np(n2, Zm, nyquist_last=False)
+    A_g, B_g = _irfft_mats_np(n2, Zm, grad_kvec=kvecs[2][:Zm],
+                              nyquist_last=False)
+
+    BY = 8 if N1 % 8 == 0 else N1
+    BX = _pick_bx(N0, N1, Zm)
+
+    def yspec():
+        return pl.BlockSpec((N0, BY, Zm), lambda t: (0, t, 0),
+                            memory_space=pltpu.VMEM)
+
+    def xpass(rr, ii, W):
+        return pl.pallas_call(
+            _x_transform_ct(N0, BY, Zm, np.float32(1.0), prec,
+                            inverse=True),
+            grid=(N1 // BY,),
+            in_specs=[yspec(), yspec(),
+                      _full_spec((Rx, Mx, Mx)),
+                      _full_spec((Rx, Mx, Mx))],
+            out_specs=(yspec(), yspec()),
+            out_shape=(jax.ShapeDtypeStruct((N0, N1, Zm), jnp.float32),
+                       jax.ShapeDtypeStruct((N0, N1, Zm), jnp.float32)),
+            compiler_params=_params(),
+            interpret=_interpret(),
+        )(rr, ii, jnp.asarray(W[0]), jnp.asarray(W[1]))
+
+    def zypass(rr, ii, Wy, AB, plane=None):
+        with_plane = plane is not None
+        in_specs = [_xplane_spec(N1, Zm, BX), _xplane_spec(N1, Zm, BX),
+                    _full_spec((Ry, My, My)), _full_spec((Ry, My, My)),
+                    _full_spec((Zm, n2)), _full_spec((Zm, n2))]
+        args = [rr, ii, jnp.asarray(Wy[0]), jnp.asarray(Wy[1]),
+                jnp.asarray(AB[0]), jnp.asarray(AB[1])]
+        if with_plane:
+            in_specs.append(pl.BlockSpec((BX, N1), lambda i: (i, 0),
+                                         memory_space=pltpu.VMEM))
+            args.append(plane)
+        return pl.pallas_call(
+            _zy_inverse_to_real_h_ct2(BX, N1, n2, Zm, prec,
+                                      with_plane=with_plane),
+            grid=(N0 // BX,),
+            in_specs=in_specs,
+            out_specs=_xplane_spec(N1, n2, BX),
+            out_shape=jax.ShapeDtypeStruct((N0, N1, n2), jnp.float32),
+            compiler_params=_params(),
+            interpret=_interpret(),
+        )(*args)
+
+    # Nyquist-plane force contributions (fx, fy only; the z kernel
+    # vanishes at Nyquist): i*k ⊙ plane, inverse 2-d, real part
+    kx = np.asarray(kvecs[0], np.float32)
+    ky = np.asarray(kvecs[1], np.float32)
+    px_r = -nqi * kx[:, None]
+    px_i = nqr * kx[:, None]
+    py_r = -nqi * ky[None, :]
+    py_i = nqr * ky[None, :]
+    plane_x = _plane_fft2(px_r, px_i, N0, N1, +1, prec)[0]
+    plane_y = _plane_fft2(py_r, py_i, N0, N1, +1, prec)[0]
+
+    sr, si = xpass(r, i, wx)
+    fy = zypass(sr, si, wy_g, (A_p, B_p), plane=plane_y)
+    fz = zypass(sr, si, wy, (A_g, B_g))
+    gr, gi = xpass(r, i, wx_g)
+    fx = zypass(gr, gi, wy, (A_p, B_p), plane=plane_x)
     return fx, fy, fz
 
 

@@ -58,6 +58,20 @@ def _shift2(x, vy, vz):
     return x
 
 
+def _shift2_dyn(x, vy, vz):
+    """_shift2 with TRACED shifts (dynamic VMEM rotate) — used by the
+    fori_loop form of wide offset ranges, where full unrolling would
+    spill registers (measured: nv=6 paint spills 130 MB)."""
+    n1, n2 = x.shape
+    x = pltpu.roll(x, (-vy) % n1, 0)
+    x = pltpu.roll(x, (-vz) % n2, 1)
+    return x
+
+
+# offset volumes above this use the fori_loop kernel form
+_UNROLL_LIMIT = 80
+
+
 def _axis_k(win, diff, v, s):
     # diff sign convention: see gridpm._axis_weight
     return -win.diff(v - s) if diff else win.kernel(v - s)
@@ -89,9 +103,10 @@ def _plane_spec(n1, n2, offset=0):
 
 
 # pipelined refs are double-buffered; keep their total under this
-# budget (v5e VMEM is 128 MiB; leave room for compute temps).
+# budget (v5e VMEM is 128 MiB; leave room for compute temps — wide
+# offset ranges were measured to exceed VMEM at 60 MiB).
 # module-level so the wide-bounds test can shrink it to force chunking
-_REF_BUDGET_BYTES = 60 * 1024 * 1024
+_REF_BUDGET_BYTES = 40 * 1024 * 1024
 
 
 def _offset_chunks(vmin, vmax, refs_per_offset, fixed_refs,
@@ -131,29 +146,57 @@ def readout_fused_ext(meshes_ext, disp, vmin, vmax, window,
         cnv = v1 - v0 + 1
         base = v0 - vmin
 
+        nv = vmax - vmin + 1
+        unroll = cnv * nv * nv <= _UNROLL_LIMIT
+
         def kernel(sxr, syr, szr, *rest):
             mrefs = rest[:nmesh * cnv]
             orefs = rest[nmesh * cnv:]
             sx = sxr[0]
             sy = syr[0]
             sz = szr[0]
-            ky = [_axis_k(win, diffdir == 1, vy, sy).astype(dtype)
-                  for vy in range(vmin, vmax + 1)]
-            kz = [_axis_k(win, diffdir == 2, vz, sz).astype(dtype)
-                  for vz in range(vmin, vmax + 1)]
             accs = [jnp.zeros((N1, N2), dtype) for _ in range(nmesh)]
+            if unroll:
+                ky = [_axis_k(win, diffdir == 1, vy, sy).astype(dtype)
+                      for vy in range(vmin, vmax + 1)]
+                kz = [_axis_k(win, diffdir == 2, vz, sz).astype(dtype)
+                      for vz in range(vmin, vmax + 1)]
+                for ivx, vx in enumerate(range(v0, v1 + 1)):
+                    kx = _axis_k(win, diffdir == 0, vx,
+                                 sx).astype(dtype)
+                    planes = [mrefs[m * cnv + ivx][0]
+                              for m in range(nmesh)]
+                    for ivy, vy in enumerate(range(vmin, vmax + 1)):
+                        wxy = kx * ky[ivy]
+                        pys = [_shift2(p, vy, 0) for p in planes]
+                        for ivz, vz in enumerate(range(vmin, vmax + 1)):
+                            w = wxy * kz[ivz]
+                            for m in range(nmesh):
+                                accs[m] = accs[m] + w * _shift2(
+                                    pys[m], 0, vz)
+                for m in range(nmesh):
+                    orefs[m][0] = accs[m]
+                return
+            # wide ranges: fori over (vy, vz) with dynamic rotates to
+            # bound the register live set (full unrolling spills)
             for ivx, vx in enumerate(range(v0, v1 + 1)):
                 kx = _axis_k(win, diffdir == 0, vx, sx).astype(dtype)
                 planes = [mrefs[m * cnv + ivx][0]
                           for m in range(nmesh)]
-                for ivy, vy in enumerate(range(vmin, vmax + 1)):
-                    wxy = kx * ky[ivy]
-                    pys = [_shift2(p, vy, 0) for p in planes]
-                    for ivz, vz in enumerate(range(vmin, vmax + 1)):
-                        w = wxy * kz[ivz]
-                        for m in range(nmesh):
-                            accs[m] = accs[m] + w * _shift2(
-                                pys[m], 0, vz)
+
+                def body(t, accs, kx=kx, planes=planes):
+                    vy = vmin + t // nv
+                    vz = vmin + t % nv
+                    wxy = kx * _axis_k(win, diffdir == 1, vy,
+                                       sy).astype(dtype)
+                    w = wxy * _axis_k(win, diffdir == 2, vz,
+                                      sz).astype(dtype)
+                    return tuple(
+                        a + w * _shift2_dyn(p, vy, vz)
+                        for a, p in zip(accs, planes))
+
+                accs = list(jax.lax.fori_loop(0, nv * nv, body,
+                                              tuple(accs)))
             for m in range(nmesh):
                 orefs[m][0] = accs[m]
 
@@ -231,6 +274,9 @@ def paint_fused_ext(disp_ext, mass_ext, vmin, vmax, window,
         # with base chosen so dx = v1 - vx: source = p - vx
         base = vmax - v1
 
+        nv = vmax - vmin + 1
+        unroll = cnv * nv * nv <= _UNROLL_LIMIT
+
         def kernel(*refs):
             orefs = refs[-1]
             acc = jnp.zeros((N1, N2), dtype)
@@ -242,14 +288,29 @@ def paint_fused_ext(disp_ext, mass_ext, vmin, vmax, window,
                 kx = _axis_k(win, diffdir == 0, vx, sx).astype(dtype)
                 if not scalar_mass:
                     kx = kx * refs[3 * cnv + slot][0]
-                for vy in range(vmin, vmax + 1):
+                if unroll:
+                    for vy in range(vmin, vmax + 1):
+                        wxy = kx * _axis_k(win, diffdir == 1, vy,
+                                           sy).astype(dtype)
+                        for vz in range(vmin, vmax + 1):
+                            c = wxy * _axis_k(win, diffdir == 2, vz,
+                                              sz).astype(dtype)
+                            # placed at p = q + v: result[p] = c[p-v]
+                            acc = acc + _shift2(c, -vy, -vz)
+                    continue
+
+                # wide ranges: fori over (vy, vz), dynamic rotates
+                # (full unrolling spills registers — see _UNROLL_LIMIT)
+                def body(t, acc, kx=kx, sy=sy, sz=sz):
+                    vy = vmin + t // nv
+                    vz = vmin + t % nv
                     wxy = kx * _axis_k(win, diffdir == 1, vy,
                                        sy).astype(dtype)
-                    for vz in range(vmin, vmax + 1):
-                        c = wxy * _axis_k(win, diffdir == 2, vz,
-                                          sz).astype(dtype)
-                        # placed at p = q + v: result[p] = c[p - v]
-                        acc = acc + _shift2(c, -vy, -vz)
+                    c = wxy * _axis_k(win, diffdir == 2, vz,
+                                      sz).astype(dtype)
+                    return acc + _shift2_dyn(c, -vy, -vz)
+
+                acc = jax.lax.fori_loop(0, nv * nv, body, acc)
             orefs[0] = acc
 
         in_specs = [_plane_spec(N1, N2, base + dx)

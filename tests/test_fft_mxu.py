@@ -1,6 +1,7 @@
 """MXU DFT-matmul FFT (ops/fft_mxu.py) vs numpy/XLA references.
 Runs in pallas interpret mode on CPU."""
 import numpy as np
+from numpy.testing import assert_allclose
 import jax
 import jax.numpy as jnp
 
@@ -86,3 +87,64 @@ def test_force_lattice_mxu_bf16_accuracy():
         a, b = np.asarray(Ff[d]).ravel(), np.asarray(Fb[d]).ravel()
         rms = np.sqrt(np.mean(a ** 2)) + 1e-30
         assert np.sqrt(np.mean((a - b) ** 2)) / rms < 2e-3
+
+
+def test_ct_forward_matches_rfftn():
+    """Cooley-Tukey factored forward: unpermuting the chunk order
+    recovers numpy's rfftn (f32-exact, ~1e-9)."""
+    from pmesh_tpu.ops import fft_mxu as fm
+    N = 256
+    assert fm._ct_factor(N) == (2, 128)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.normal(size=(N, N, N)).astype('f4'))
+    r, i = fm.fft3_real_forward_half_ct(x)
+    p = fm._ct_permute(N)
+    ref = np.fft.rfftn(np.asarray(x)) / N ** 3
+    assert_allclose(np.asarray(r)[p][:, p], ref.real, atol=2e-6)
+    assert_allclose(np.asarray(i)[p][:, p], ref.imag, atol=2e-6)
+
+
+def test_ct2_split_nyquist_matches_dense():
+    """split-Nyquist CT pipeline: forward slices match rfftn and the
+    folded-gradient triple matches the dense half variant."""
+    from pmesh_tpu.ops import fft_mxu as fm
+    N = 256
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.normal(size=(N, N, N)).astype('f4'))
+    r, i, nqr, nqi = fm.fft3_real_forward_half_ct2(x)
+    p = fm._ct_permute(N)
+    ref = np.fft.rfftn(np.asarray(x)) / N ** 3
+    assert_allclose(np.asarray(r)[p][:, p], ref.real[..., :N // 2],
+                    atol=2e-6)
+    assert_allclose(np.asarray(nqr), ref.real[..., N // 2], atol=2e-6)
+    assert_allclose(np.asarray(nqi), ref.imag[..., N // 2], atol=2e-6)
+
+    w = np.fft.fftfreq(N) * 2 * np.pi
+    k1 = tuple(((8 * np.sin(w) - np.sin(2 * w)) / 6.0).tolist())
+    wz = np.fft.rfftfreq(N) * 2 * np.pi
+    kz = tuple(((8 * np.sin(wz) - np.sin(2 * wz)) / 6.0).tolist())
+    kd = (k1, k1, kz)
+    rd, idn = fm.fft3_real_forward_half(x)
+    fd = fm.fft3_real_inverse_grad3_half(rd, idn, n2=N, kvecs=kd)
+    fc = fm.fft3_real_inverse_grad3_half_ct2(r, i, nqr, nqi, n2=N,
+                                             kvecs=kd)
+    for a, b in zip(fc, fd):
+        scale = float(jnp.max(jnp.abs(b)))
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-5
+
+
+def test_ct_force_lattice_end_to_end():
+    """force_lattice(fft='mxu') at a CT-able size equals fft='xla'."""
+    from pmesh_tpu import ParticleMesh
+    from pmesh_tpu.models.fastpm import Solver
+    N = 256
+    pm = ParticleMesh(Nmesh=[N] * 3, BoxSize=float(N), dtype='f4')
+    solver = Solver(pm)
+    rng = np.random.RandomState(3)
+    disp = tuple(jnp.asarray(rng.uniform(0, 1, (N, N, N)).astype('f4'))
+                 for _ in range(3))
+    Fm = solver.force_lattice(disp, bounds=(0., 1.), fft='mxu')
+    Fx = solver.force_lattice(disp, bounds=(0., 1.), fft='xla')
+    for a, b in zip(Fm, Fx):
+        scale = float(jnp.max(jnp.abs(b)))
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 2e-5

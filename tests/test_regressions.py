@@ -83,3 +83,22 @@ def test_symlet_windows_still_build():
     for name in ('sym6', 'sym12', 'sym20'):
         w = windows[name]
         assert w.support > 0
+
+
+def test_c2r_never_fuses_irfft3d():
+    """XLA-TPU's fused IRFFT-3D primitive returns garbage for
+    >=256^3 half-spectrum inputs (measured on v5e: relative error
+    ~0.3; forward and all 1/2-axis transforms exact).  ops/fft.c2r
+    must keep the inverse split (2-axis IFFT + barrier + 1-d IRFFT)
+    so the fusion can never form; this pins the split path's
+    correctness at a triggering size."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pmesh_tpu.ops import fft as _fft
+    N = 256
+    rng = np.random.RandomState(0)
+    x = rng.normal(size=(N, N, N)).astype('f4')
+    spec = _fft.r2c(jnp.asarray(x))
+    back = _fft.c2r(spec, (N, N, N), jnp.float32)
+    err = float(jnp.max(jnp.abs(back - x)))
+    assert err < 1e-4, err
