@@ -1,0 +1,240 @@
+"""Binned slot-lattice particles: the general-position fast path.
+
+The lattice formulation (ops/gridpm.py) requires displacements within
+static bounds; its cost grows as nv^3 when particles drift (measured:
+nv=6 costs 11x the nv=3 step).  The reference instead scatters
+arbitrary positions particle-by-particle with C atomics
+(pmesh/_window_generics.h:21-72) — the exact pattern TPUs cannot do
+fast (XLA scatter: ~85 M updates/s; 10+ s per 512^3 paint).
+
+This module keeps arbitrary particle distributions in *slot-lattice*
+form: ``nslots`` mesh-shaped sub-lattices, slot k of cell c holding
+the k-th particle homed in c as a fractional displacement in [0, 1):
+
+    disp[k][d] : (mesh) per-axis displacement of slot k  (cells)
+    valid[k]   : (mesh) 1.0 where the slot holds a particle
+
+- paint  = sum_k lattice-paint(disp_k, mass=valid_k) — bounds stay
+  (0, 1)+drift regardless of how far the system has evolved;
+- readout = per-slot lattice readouts sharing the force meshes;
+- **rebase** folds accumulated integer drift back into cell
+  reassignment with ONLY dense masked rolls: count arrivals per
+  target cell across the (slot, integer-offset) images in a fixed
+  order, the running count is each image's arrival rank, and rank j
+  lands in slot j.  No sort, no scatter, jittable, and the rolls
+  lower to halo collective-permutes on a device mesh.
+
+Overflow (a cell receiving more than ``nslots`` particles) is NEVER
+silent: the overflow count is returned and the fields are poisoned
+with NaN unless the caller handles it (pick more slots or rebase more
+often; the FastPM driver re-checks every rebase).
+
+The per-step cost is nslots * the lattice cost with nv=2 (8 passes),
+so moderately clustered distributions (occupancy <= nslots) run
+within a small factor of the pure-lattice path — the TPU answer to
+the reference's general-position scatter.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import gridpm as _gp
+
+__all__ = ["from_lattice", "rebase", "paint_binned", "readout_binned",
+           "occupancy", "from_positions"]
+
+
+def from_lattice(disp, vel=None, nslots=2):
+    """Wrap a lattice state (one particle per cell) as a binned state
+    with ``nslots`` slots (slot 0 full, the rest empty)."""
+    ndim = len(disp)
+    shape = disp[0].shape
+    dtype = disp[0].dtype
+    zero_d = tuple(jnp.zeros(shape, dtype) for _ in range(ndim))
+    dslots = (tuple(disp),) + tuple(zero_d for _ in range(nslots - 1))
+    valid = (jnp.ones(shape, dtype),) + tuple(
+        jnp.zeros(shape, dtype) for _ in range(nslots - 1))
+    if vel is None:
+        return dslots, valid
+    vslots = (tuple(vel),) + tuple(zero_d for _ in range(nslots - 1))
+    return dslots, vslots, valid
+
+
+def occupancy(valid):
+    """total particle count and max cell occupancy."""
+    tot = sum(jnp.sum(v) for v in valid)
+    occ = sum(jnp.asarray(v) for v in valid)
+    return tot, jnp.max(occ)
+
+
+def _drift_offsets(drift_bounds, ndim):
+    lo, hi = drift_bounds
+    dlo = int(np.floor(lo))
+    dhi = int(np.floor(hi))
+    import itertools
+    return list(itertools.product(range(dlo, dhi + 1), repeat=ndim))
+
+
+def rebase(dslots, valid, drift_bounds, extras=(), nslots_out=None):
+    """Fold integer drift into cell reassignment.
+
+    Parameters
+    ----------
+    dslots : tuple over slots of per-axis displacement tuples; values
+        may have drifted anywhere within ``drift_bounds`` cells.
+    valid : tuple over slots of occupancy masks (0/1, field dtype).
+    drift_bounds : (lo, hi) floats — static bound on the current
+        displacements (the paint bounds used since the last rebase).
+    extras : tuple of additional per-slot per-axis field tuples that
+        move with the particles (e.g. velocities), same nesting as
+        dslots.
+    nslots_out : output slot count (default: len(dslots)).
+
+    Returns (new_dslots, new_valid, new_extras, overflow): all
+    displacements back in [0, 1); ``overflow`` counts particles that
+    did not fit ``nslots_out`` slots — the caller MUST check it (the
+    fields are NaN-poisoned when overflow > 0, so ignoring it cannot
+    silently drop mass).
+    """
+    K = len(dslots)
+    ndim = len(dslots[0])
+    shape = dslots[0][0].shape
+    dtype = dslots[0][0].dtype
+    axes = tuple(range(ndim))
+    Kout = nslots_out if nslots_out is not None else K
+    offsets = _drift_offsets(drift_bounds, ndim)
+
+    new_d = [[jnp.zeros(shape, dtype) for _ in range(ndim)]
+             for _ in range(Kout)]
+    new_e = [[[jnp.zeros(shape, dtype) for _ in range(ndim)]
+              for _ in range(Kout)] for _ in extras]
+    new_v = [jnp.zeros(shape, dtype) for _ in range(Kout)]
+
+    running = jnp.zeros(shape, jnp.int32)
+    overflow = jnp.zeros((), jnp.int32)
+    for k in range(K):
+        for off in offsets:
+            sel = valid[k] > 0
+            for d in range(ndim):
+                sel = sel & (jnp.floor(dslots[k][d]) == off[d])
+            # image arrives at cell c + off
+            arr = jnp.roll(sel, off, axes)
+            rank = running
+            running = running + arr.astype(jnp.int32)
+            overflow = overflow + jnp.sum(
+                jnp.where(arr & (rank >= Kout), 1, 0))
+            # rolled payloads (fractional part re-centered to the
+            # new home cell)
+            moved_d = [jnp.roll(dslots[k][d] - off[d], off, axes)
+                       for d in range(ndim)]
+            moved_e = [[jnp.roll(e[k][d], off, axes)
+                        for d in range(ndim)] for e in extras]
+            for j in range(Kout):
+                put = arr & (rank == j)
+                new_v[j] = jnp.where(put, jnp.asarray(1, dtype),
+                                     new_v[j])
+                for d in range(ndim):
+                    new_d[j][d] = jnp.where(put, moved_d[d],
+                                            new_d[j][d])
+                    for e in range(len(extras)):
+                        new_e[e][j][d] = jnp.where(
+                            put, moved_e[e][d], new_e[e][j][d])
+            # sequence the images: without the barrier XLA schedules
+            # every image's rolled temporaries concurrently (measured
+            # 23 GB peak HBM for a 3.5 GB state at 512^3)
+            flat, tree = jax.tree_util.tree_flatten(
+                (running, new_v, new_d, new_e))
+            flat = jax.lax.optimization_barrier(flat)
+            running, new_v, new_d, new_e = \
+                jax.tree_util.tree_unflatten(tree, flat)
+
+    # losing a particle must never be silent: overflowed slots AND
+    # particles whose drift escaped ``drift_bounds`` (their floor
+    # matches no enumerated offset) both poison the result
+    total_in = sum(jnp.sum(v) for v in valid)
+    total_out = sum(jnp.sum(v) for v in new_v)
+    lost = total_in - total_out - overflow.astype(dtype)
+    overflow = overflow + jnp.abs(lost).astype(jnp.int32)
+    bad = jnp.where(overflow > 0, jnp.nan, 0.0).astype(dtype)
+    new_d = tuple(tuple(x + bad for x in slot) for slot in new_d)
+    new_e = tuple(tuple(tuple(x + bad for x in slot) for slot in e)
+                  for e in new_e)
+    new_v = tuple(new_v)
+    return new_d, new_v, new_e, overflow
+
+
+def paint_binned(dslots, valid, bounds=(0.0, 1.0), window='cic',
+                 impl=None, procmesh=None):
+    """density of a binned state: sum of per-slot lattice paints with
+    the occupancy masks as masses."""
+    out = None
+    for dk, vk in zip(dslots, valid):
+        p = _gp.paint_grid(tuple(dk), mass=vk, bounds=bounds,
+                           window=window, impl=impl,
+                           procmesh=procmesh)
+        out = p if out is None else out + p
+    return out
+
+
+def readout_binned(meshes, dslots, valid, bounds=(0.0, 1.0),
+                   window='cic', impl=None, procmesh=None):
+    """per-slot readouts of one or more meshes; returns, per slot,
+    the tuple of per-mesh value fields (invalid slots read garbage —
+    mask with ``valid`` before use, as the integrators do)."""
+    single = not isinstance(meshes, (tuple, list))
+    ms = (meshes,) if single else tuple(meshes)
+    outs = []
+    for dk in dslots:
+        vals = _gp.readout_grid(ms, tuple(dk), bounds=bounds,
+                                window=window, impl=impl,
+                                procmesh=procmesh)
+        outs.append(vals[0] if single else vals)
+    return tuple(outs)
+
+
+def from_positions(pos, shape, nslots, scale=1.0):
+    """Bin arbitrary positions (N, ndim) into a slot-lattice (the
+    one-time IC ingestion path; the production loop never sorts).
+
+    Uses one global sort + rank-in-cell; particles beyond ``nslots``
+    per cell overflow (counted; fields poisoned).  Positions are in
+    simulation units; ``scale`` converts to grid cells.
+    """
+    pos = jnp.asarray(pos)
+    ndim = pos.shape[-1]
+    shape = tuple(int(n) for n in shape)
+    dtype = pos.dtype
+    g = [jnp.mod(pos[:, d] * scale, shape[d]) for d in range(ndim)]
+    cell = [jnp.floor(x).astype(jnp.int32) for x in g]
+    frac = [x - jnp.floor(x) for x in g]
+    flat = cell[0]
+    for d in range(1, ndim):
+        flat = flat * shape[d] + cell[d]
+    order = jnp.argsort(flat, stable=True)
+    flat_s = flat[order]
+    # rank within equal-cell runs
+    n = pos.shape[0]
+    i = jnp.arange(n)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), flat_s[1:] != flat_s[:-1]])
+    start = jax.lax.cummax(jnp.where(is_start, i, 0))
+    rank = i - start
+    size = int(np.prod(shape))
+    target = rank * size + flat_s
+    ok = rank < nslots
+    overflow = jnp.sum(jnp.where(~ok, 1, 0))
+    target = jnp.where(ok, target, nslots * size)
+    dfields = []
+    vflat = jnp.zeros((nslots * size + 1,), dtype).at[target].set(
+        1.0, mode='drop')
+    for d in range(ndim):
+        f = jnp.zeros((nslots * size + 1,), dtype).at[target].set(
+            frac[d][order], mode='drop')
+        dfields.append(f[:-1].reshape((nslots,) + shape))
+    valid = vflat[:-1].reshape((nslots,) + shape)
+    bad = jnp.where(overflow > 0, jnp.nan, 0.0).astype(dtype)
+    dslots = tuple(
+        tuple(dfields[d][k] + bad for d in range(ndim))
+        for k in range(nslots))
+    vslots = tuple(valid[k] for k in range(nslots))
+    return dslots, vslots, overflow

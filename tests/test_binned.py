@@ -1,0 +1,127 @@
+"""Binned slot-lattice path (ops/binned.py + Solver.nbody_binned):
+the general-position regime without scatters, and the never-drop-mass
+guarantee (rebase absorbs drift; overflow/escape poisons, never
+warns-after-the-fact)."""
+import numpy as np
+from numpy.testing import assert_allclose
+import jax
+import jax.numpy as jnp
+
+from pmesh_tpu import ParticleMesh
+from pmesh_tpu.ops import binned as bn
+from pmesh_tpu.ops import paint as po
+from pmesh_tpu.models.fastpm import Solver
+
+
+def test_from_positions_paint_matches_generic():
+    N = 16
+    rng = np.random.RandomState(0)
+    pos = rng.uniform(0, N, (2000, 3))
+    dslots, valid, over = bn.from_positions(jnp.asarray(pos),
+                                            (N, N, N), nslots=8)
+    assert int(over) == 0
+    rho_b = bn.paint_binned(dslots, valid, bounds=(0., 1.))
+    rho_g = po.paint(jnp.zeros((N, N, N)), jnp.asarray(pos),
+                     window='cic', scale=1.0, translate=0.0,
+                     period=(N, N, N))
+    assert_allclose(np.asarray(rho_b), np.asarray(rho_g), atol=1e-10)
+
+
+def test_rebase_preserves_density_and_extras():
+    N = 16
+    rng = np.random.RandomState(1)
+    pos = rng.uniform(0, N, (1500, 3))
+    dslots, valid, _ = bn.from_positions(jnp.asarray(pos), (N, N, N),
+                                         nslots=8)
+    shift = tuple(tuple(d + rng.uniform(-1.5, 1.5) for d in dk)
+                  for dk in dslots)
+    vel = tuple(tuple(jnp.asarray(rng.normal(size=(N, N, N)))
+                      for _ in range(3)) for _ in range(8))
+    before = bn.paint_binned(shift, valid, bounds=(-1.5, 2.5))
+    nd, nv, (nvel,), over = bn.rebase(shift, valid, (-1.5, 2.5),
+                                      extras=(vel,))
+    assert int(over) == 0
+    after = bn.paint_binned(nd, nv, bounds=(0., 1.))
+    assert_allclose(np.asarray(after), np.asarray(before), atol=1e-9)
+    mom_in = sum(float(jnp.sum(vel[k][0] * valid[k]))
+                 for k in range(8))
+    mom_out = sum(float(jnp.sum(nvel[k][0] * nv[k]))
+                  for k in range(8))
+    assert abs(mom_in - mom_out) < 1e-8
+
+
+def test_rebase_escape_poisons():
+    """a particle drifting beyond the declared drift bounds must
+    poison the state, never silently vanish (the VERDICT's
+    boundary-crossing criterion)."""
+    N = 8
+    dslots, valid = bn.from_lattice(
+        tuple(jnp.zeros((N, N, N)) for _ in range(3)), nslots=1)
+    # one particle pushed 2.7 cells while declaring drift <= 1.5
+    d0 = dslots[0][0].at[2, 3, 4].set(2.7)
+    bad = ((d0, dslots[0][1], dslots[0][2]),)
+    nd, nv, _, over = bn.rebase(bad, valid, (-0.5, 1.5))
+    assert int(over) > 0
+    assert np.isnan(np.asarray(nd[0][0])).all()
+
+
+def test_overflow_poisons():
+    N = 8
+    rng = np.random.RandomState(2)
+    pos = rng.uniform(0, N, (600, 3))
+    d1, v1, over = bn.from_positions(jnp.asarray(pos), (4, 4, 4),
+                                     nslots=1, scale=4.0 / N)
+    assert int(over) > 0
+    assert np.isnan(np.asarray(d1[0][0])).all()
+
+
+def test_nbody_binned_matches_lattice():
+    """a short run where displacements stay in the lattice bounds:
+    the binned integrator (with mid-run rebases) must reproduce the
+    lattice integrator's final density."""
+    N = 8
+    pm = ParticleMesh(Nmesh=[N] * 3, BoxSize=float(N), dtype='f8')
+    solver = Solver(pm)
+    dlin = solver.linear_field(lambda k: 0.5 * jnp.ones_like(k),
+                               seed=42, compat='native')
+    disp, vel = solver.lpt_lattice(dlin, a0=0.3, shift=0.3, order=1)
+    steps = np.linspace(0.3, 0.5, 3)
+
+    S_l, V_l = solver.nbody_lattice(disp, vel, steps,
+                                    bounds=(-1.0, 2.0))
+    from pmesh_tpu.ops import gridpm as gp
+    rho_l = gp.paint_grid(S_l, bounds=(-1.0, 2.0))
+
+    dsl, vsl, valid, over = solver.nbody_binned(
+        disp, vel, steps, nslots=2, rebase_every=2, step_drift=0.5)
+    assert int(over) == 0
+    rho_b = bn.paint_binned(dsl, valid, bounds=(-1.0, 2.0))
+    assert_allclose(np.asarray(rho_b), np.asarray(rho_l), atol=1e-8)
+    # totals conserved
+    tot, occ = bn.occupancy(valid)
+    assert float(tot) == N ** 3
+
+
+def test_nbody_binned_deep_drift():
+    """displacements that outgrow any static lattice bounds keep
+    integrating exactly under periodic rebase (the regime where
+    nbody_lattice would have warned after dropping mass)."""
+    N = 8
+    pm = ParticleMesh(Nmesh=[N] * 3, BoxSize=float(N), dtype='f8')
+    solver = Solver(pm)
+    # uniform density (delta == 0, forces vanish) drifting coherently
+    # ~0.3 cells/step: the total displacement crosses several cells —
+    # far outside any static lattice bounds — and must stay exact
+    disp = tuple(jnp.full((N, N, N), 0.5) for _ in range(3))
+    vel = tuple(jnp.full((N, N, N), 0.1 * (d + 1)) for d in range(3))
+    steps = np.linspace(0.3, 0.9, 7)
+    dsl, vsl, valid, over = solver.nbody_binned(
+        disp, vel, steps, nslots=2, rebase_every=1, step_drift=1.0,
+        factors='naive')
+    assert int(over) == 0
+    tot, occ = bn.occupancy(valid)
+    assert float(tot) == N ** 3
+    assert float(occ) == 1.0  # coherent drift keeps one per cell
+    rho = bn.paint_binned(dsl, valid, bounds=(-1.0, 2.0))
+    assert np.isfinite(np.asarray(rho)).all()
+    assert_allclose(np.asarray(rho), 1.0, atol=1e-9)
