@@ -358,87 +358,96 @@ def _hsml_support(window, hsml, hsml_max):
     return int(np.ceil(window.support_float * float(hsml_max)))
 
 
-# --- custom-VJP wrappers ----------------------------------------------------
+# --- custom-JVP wrappers ----------------------------------------------------
+#
+# The analytic derivative pairs of the reference (readout_vjp:
+# pm.py:793-845, readout_jvp: 848-859, paint_vjp: 1890-1935,
+# paint_jvp: 1872-1888) are expressed as FORWARD rules here: the
+# tangent of a paint is a paint of the tangent mass plus
+# derivative-window paints against the position tangents.  jax
+# derives reverse mode by transposing the (linear-in-tangent) rule —
+# the transpose of the scatter-add paint is exactly the readout
+# gather, so jax.grad produces the reference's analytic adjoints
+# while jax.jvp/jvp-of-vmap etc. compose for free (the custom_vjp
+# form used previously made forward mode raise).
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+@functools.partial(jax.custom_jvp, nondiff_argnums=(4,))
 def _paint_vjpable(mesh, pos, mass, hsml, geom):
     return _paint_impl(mesh, pos, mass, hsml, geom)
 
 
-def _paint_fwd(mesh, pos, mass, hsml, geom):
+@_paint_vjpable.defjvp
+def _paint_jvp(geom, primals, tangents):
+    mesh, pos, mass, hsml = primals
+    d_mesh, d_pos, d_mass, _ = tangents
     out = _paint_impl(mesh, pos, mass, hsml, geom)
-    return out, (pos, mass, hsml)
-
-
-def _paint_bwd(geom, res, v):
-    pos, mass, hsml = res
     N = pos.shape[0]
-    d_mesh = v
-    # d_mass = readout(v, pos)   (pm.py:1928-1933)
-    d_mass_full = _readout_impl(v, pos, hsml, geom)
-    if jnp.ndim(mass) == 0:
-        d_mass = jnp.sum(d_mass_full).astype(jnp.asarray(mass).dtype)
-    else:
-        d_mass = d_mass_full.astype(mass.dtype)
-    # d_pos[:, d] = mass * readout(v, pos, gradient=d)   (pm.py:1913-1926)
-    if geom.diffdir is None:
-        cols = []
+    zeros = jnp.zeros(geom.shape, dtype=out.dtype)
+
+    def is_zero(t):
+        return type(t).__name__ in ('Zero', 'SymbolicZero')
+
+    dout = jnp.zeros_like(out)
+    if not is_zero(d_mesh):
+        dout = dout + d_mesh
+    if not is_zero(d_mass):
+        dm = jnp.broadcast_to(jnp.asarray(d_mass, out.dtype), (N,))
+        dout = dout + _paint_impl(zeros, pos, dm, hsml, geom)
+    if not is_zero(d_pos):
+        if geom.diffdir is not None:
+            raise ValueError(
+                "gradient of gradient is not supported "
+                "(reference pm.py:823)")
+        m = jnp.broadcast_to(jnp.asarray(mass, out.dtype), (N,))
         for d in range(geom.ndim):
-            g = _readout_impl(v, pos, hsml, geom.with_diffdir(d))
-            cols.append(g * mass)
-        d_pos = jnp.stack(cols, axis=-1).astype(pos.dtype)
-    else:
-        d_pos = jnp.zeros_like(pos)
-    return d_mesh, d_pos, d_mass, None
+            dout = dout + _paint_impl(
+                zeros, pos, m * d_pos[:, d], hsml,
+                geom.with_diffdir(d))
+    return out, dout
 
 
-_paint_vjpable.defvjp(_paint_fwd, _paint_bwd)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+@functools.partial(jax.custom_jvp, nondiff_argnums=(3,))
 def _readout_vjpable(mesh, pos, hsml, geom):
     return _readout_impl(mesh, pos, hsml, geom)
 
 
-def _readout_fwd(mesh, pos, hsml, geom):
-    return _readout_impl(mesh, pos, hsml, geom), (mesh, pos, hsml)
+@_readout_vjpable.defjvp
+def _readout_jvp(geom, primals, tangents):
+    mesh, pos, hsml = primals
+    d_mesh, d_pos, _ = tangents
+    out = _readout_impl(mesh, pos, hsml, geom)
 
+    def is_zero(t):
+        return type(t).__name__ in ('Zero', 'SymbolicZero')
 
-def _readout_bwd(geom, res, v):
-    mesh, pos, hsml = res
-    istuple = isinstance(mesh, (list, tuple))
-    batched = istuple or (mesh.ndim == geom.ndim + 1)
-    # d_mesh = paint of v (pm.py:835-843)
-    if istuple:
-        zeros = jnp.zeros(geom.shape, dtype=mesh[0].dtype)
-        d_mesh = tuple(_paint_impl(zeros, pos, v[m], hsml, geom)
-                       for m in range(len(mesh)))
-    elif batched:
-        zeros = jnp.zeros(geom.shape, dtype=mesh.dtype)
-        d_mesh = jnp.stack([
-            _paint_impl(zeros, pos, v[m], hsml, geom)
-            for m in range(mesh.shape[0])])
-    else:
-        zeros = jnp.zeros(geom.shape, dtype=mesh.dtype)
-        d_mesh = _paint_impl(zeros, pos, v, hsml, geom)
-    # d_pos[:, d] = v * readout(mesh, pos, gradient=d) (pm.py:821-833)
-    if geom.diffdir is None:
-        cols = []
+    def zeros_like_out(o):
+        if isinstance(o, tuple):
+            return tuple(jnp.zeros_like(x) for x in o)
+        return jnp.zeros_like(o)
+
+    def add(a, b):
+        if isinstance(a, tuple):
+            return tuple(x + y for x, y in zip(a, b))
+        return a + b
+
+    dout = zeros_like_out(out)
+    if not is_zero(d_mesh):
+        dout = add(dout, _readout_impl(d_mesh, pos, hsml, geom))
+    if not is_zero(d_pos):
+        if geom.diffdir is not None:
+            raise ValueError(
+                "gradient of gradient is not supported "
+                "(reference pm.py:823)")
         for d in range(geom.ndim):
             g = _readout_impl(mesh, pos, hsml, geom.with_diffdir(d))
-            if istuple:
-                cols.append(sum(gm * vm for gm, vm in zip(g, v)))
-            elif batched:
-                cols.append(jnp.sum(g * v, axis=0))
+            if isinstance(g, tuple):
+                dout = add(dout, tuple(gm * d_pos[:, d] for gm in g))
+            elif isinstance(out, jnp.ndarray) and \
+                    out.ndim == 2 and not isinstance(mesh, tuple):
+                dout = dout + g * d_pos[None, :, d]
             else:
-                cols.append(g * v)
-        d_pos = jnp.stack(cols, axis=-1).astype(pos.dtype)
-    else:
-        d_pos = jnp.zeros_like(pos)
-    return d_mesh, d_pos, None
-
-
-_readout_vjpable.defvjp(_readout_fwd, _readout_bwd)
+                dout = dout + g * d_pos[:, d]
+    return out, dout
 
 
 # --- public API -------------------------------------------------------------

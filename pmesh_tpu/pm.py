@@ -866,6 +866,25 @@ class ParticleMesh(object):
         self.resampler = FindResampler(resampler)
         self.plan_method = plan_method
 
+        if self.procmesh is not None and self.procmesh.size > 1:
+            D = self.procmesh.size
+            if self.ndim < 2:
+                raise ValueError(
+                    "distributed 1-d meshes are not supported (the "
+                    "reference is also single-rank there, "
+                    "pm.py:1316-1317); drop procmesh")
+            bad = [d for d in (0, 1) if int(self.Nmesh[d]) % D != 0]
+            if bad:
+                raise ValueError(
+                    "the slab/pencil decomposition needs Nmesh[0] and "
+                    "Nmesh[1] divisible by the device count: Nmesh=%s "
+                    "on %d devices fails on axis %s.  Pad the mesh to "
+                    "a multiple of %d or use a divisor-sized device "
+                    "subset (jax equal-block shardings cannot carry "
+                    "the reference's uneven pfft edges, "
+                    "pm.py:1319-1327)."
+                    % (tuple(int(n) for n in self.Nmesh), D, bad, D))
+
         if self.dtype in (_np.dtype('f8'), _np.dtype('f4')):
             self._is_c2c = False
             self._ctype = (_np.dtype('complex128')

@@ -185,3 +185,48 @@ def test_c2r_vjp_scale():
     out = RealField.c2r_vjp(real)
     expect = real.r2c().value * 16.0
     assert_allclose(np.asarray(out.value), np.asarray(expect), atol=1e-12)
+
+
+def test_jvp_composes_with_explicit_methods():
+    """jax.jvp through paint/readout must equal the reference-style
+    explicit *_jvp operators (reference pm.py:848-859, 1872-1888) —
+    the custom_vjp form used to make forward mode raise."""
+    pm = ParticleMesh(BoxSize=8.0, Nmesh=[4, 4, 4])
+    rng = np.random.RandomState(11)
+    pos = jnp.asarray(rng.uniform(0, 8, (30, 3)))
+    mass = jnp.asarray(rng.uniform(0.5, 2.0, 30))
+    v_pos = jnp.asarray(rng.normal(size=(30, 3)))
+    v_mass = jnp.asarray(rng.normal(size=30))
+
+    # paint jvp
+    def f(pos, mass):
+        return pm.paint(pos, mass=mass).value
+
+    out, tangent = jax.jvp(f, (pos, mass), (v_pos, v_mass))
+    want = pm.paint_jvp(pos, mass=mass, v_pos=v_pos, v_mass=v_mass)
+    assert_allclose(np.asarray(tangent), np.asarray(want.value),
+                    rtol=1e-10, atol=1e-12)
+
+    # readout jvp
+    mesh = pm.create(type='real',
+                     value=rng.normal(size=(4, 4, 4)))
+    v_mesh = pm.create(type='real',
+                       value=rng.normal(size=(4, 4, 4)))
+
+    def g(mv, pos):
+        f2 = pm.create(type='real', value=mv)
+        return f2.readout(pos)
+
+    out, tangent = jax.jvp(g, (mesh.value, pos),
+                           (v_mesh.value, v_pos))
+    want = mesh.readout_jvp(pos, v_self=v_mesh, v_pos=v_pos)
+    assert_allclose(np.asarray(tangent), np.asarray(want),
+                    rtol=1e-10, atol=1e-12)
+
+    # second-order composition: jvp of grad (was impossible before)
+    def loss(pos):
+        return jnp.sum(pm.paint(pos).value ** 2)
+
+    gfun = jax.grad(loss)
+    _, hvp = jax.jvp(gfun, (pos,), (v_pos,))
+    assert np.isfinite(np.asarray(hvp)).all()
