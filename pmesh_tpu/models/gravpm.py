@@ -4,8 +4,11 @@ Rebuild of the reference driver stack nbody/gravpm.py:138-207 +
 nbody/qpm.py (KDK loop) + nbody/genic.py (grid ICs): generates 2LPT
 initial conditions from a linear power spectrum, runs the FastPM
 leapfrog, measures P(k) at requested snapshot times, and writes
-snapshots.  Snapshot IO uses numpy .npz (optionally orbax for sharded
-checkpoints, utils/checkpoint.py) instead of bigfile.
+snapshots.  Snapshot IO: bigfile (the reference ecosystem container,
+utils/bigfile.py, reference gravpm.py:23-31) or numpy .npz
+(--format npz; orbax for sharded checkpoints via
+utils/checkpoint.py).  ICs can be read back from any bigfile Gadget
+snapshot with :func:`read_ic` (reference gravpm.py:89-109).
 
 Run:  python -m pmesh_tpu.models.gravpm --nmesh 64 --boost 2 \
           --steps 10 --output /tmp/run
@@ -22,14 +25,15 @@ from .cosmology import Planck15
 from .powerspectrum import EHPower
 from .fastpm import Solver
 
-__all__ = ["main", "run_sim"]
+__all__ = ["main", "run_sim", "read_ic"]
 
 
 def run_sim(nmesh=64, boxsize=256.0, boost=2, resampler='tsc',
             seed=120577, ainit=0.1, afinal=1.0, steps=10, order=2,
             unitary=True, compat='native', dtype='f8',
             snapshot_times=(), output=None, monitor_print=True,
-            procmesh=None, lattice=False, fft='xla'):
+            procmesh=None, lattice=False, fft='xla',
+            snapshot_format='bigfile'):
     """Run the full IC -> N-body -> P(k) pipeline; returns the final
     state and the list of measured spectra.
 
@@ -71,7 +75,8 @@ def run_sim(nmesh=64, boxsize=256.0, boost=2, resampler='tsc',
             print("a = %.3f   P(k~%.3g) = %.5g" % (a, k[1], p[1]))
         if output is not None:
             _write_snapshot(output, a, state, np.asarray(k),
-                            np.asarray(p))
+                            np.asarray(p), pm,
+                            fmt=snapshot_format)
 
     measured = set()
 
@@ -167,16 +172,50 @@ def _write_lattice_snapshot(output, a, disp, vel, cell, k, p):
     print("wrote", fn)
 
 
-def _write_snapshot(output, a, state, k, p):
+def _write_snapshot(output, a, state, k, p, pm=None,
+                    fmt='bigfile'):
     os.makedirs(output, exist_ok=True)
-    fn = os.path.join(output, "snapshot_a%.4f.npz" % a)
-    np.savez(fn,
-             a=a,
-             Position=np.asarray(state.X),
-             Velocity=np.asarray(state.V),
-             ID=np.arange(state.Q.shape[0]),
-             k=k, power=p)
+    if fmt == 'npz':
+        fn = os.path.join(output, "snapshot_a%.4f.npz" % a)
+        np.savez(fn, a=a,
+                 Position=np.asarray(state.X),
+                 Velocity=np.asarray(state.V),
+                 ID=np.arange(state.Q.shape[0]),
+                 k=k, power=p)
+        print("wrote", fn)
+        return
+    # bigfile snapshot with the reference's Gadget layout: particle
+    # type 1 blocks + a root header block (reference gravpm.py:23-31)
+    from ..utils import bigfile as _bf
+    fn = os.path.join(output, "snapshot_a%.4f" % a)
+    n = state.Q.shape[0]
+    attrs = {'Time': float(a), 'TotNumPart':
+             np.array([0, n, 0, 0, 0, 0], dtype='i8')}
+    if pm is not None:
+        attrs['BoxSize'] = float(pm.BoxSize[0])
+    _bf.write_block(fn, 'header', data=None, attrs=attrs)
+    _bf.write_block(fn, '1/Position', np.asarray(state.X))
+    _bf.write_block(fn, '1/Velocity', np.asarray(state.V))
+    _bf.write_block(fn, '1/ID',
+                    np.arange(n, dtype='i8'))
+    _bf.write_block(fn, 'PowerSpectrum/k', np.asarray(k))
+    _bf.write_block(fn, 'PowerSpectrum/P', np.asarray(p))
     print("wrote", fn)
+
+
+def read_ic(path, ptype=1):
+    """Read Position/Velocity/ID from a bigfile Gadget snapshot (the
+    reference's IC ingestion, gravpm.py:89-109).  Returns
+    (pos, vel, ids, attrs)."""
+    from ..utils import bigfile as _bf
+    f = _bf.BigFile(path)
+    prefix = '%d/' % ptype
+    pos = f[prefix + 'Position'].read()
+    vel = (f[prefix + 'Velocity'].read()
+           if prefix + 'Velocity' in f else None)
+    ids = (f[prefix + 'ID'].read()
+           if prefix + 'ID' in f else None)
+    return pos, vel, ids, f.attrs
 
 
 def main(argv=None):
@@ -205,6 +244,9 @@ def main(argv=None):
     ap.add_argument("--fft", type=str, default='xla',
                     choices=['xla', 'mxu', 'mxu_bf16'],
                     help="transform backend for the lattice force")
+    ap.add_argument("--format", type=str, default='bigfile',
+                    choices=['bigfile', 'npz'],
+                    help="snapshot container format")
     ns = ap.parse_args(argv)
 
     state, spectra = run_sim(
@@ -213,7 +255,7 @@ def main(argv=None):
         afinal=ns.afinal, steps=ns.steps, order=ns.order,
         compat=ns.compat, dtype=ns.dtype,
         snapshot_times=ns.snapshot_times, output=ns.output,
-        lattice=ns.lattice, fft=ns.fft)
+        lattice=ns.lattice, fft=ns.fft, snapshot_format=ns.format)
     return state, spectra
 
 

@@ -1,11 +1,11 @@
-"""Regenerate the tiny debug IC fixture (debug-32/IC.npz).
+"""Regenerate the tiny debug IC fixture (debug-32/IC + IC.npz).
 
 Counterpart of the reference's debug-32/IC bigfile snapshot (a 32^3
 2LPT IC with Position/Velocity/ID/ICDensity/Strain blocks used for
-manual debugging).  bigfile is not a dependency here; the fixture is
-a plain .npz with the same block names, produced by the in-tree
-GridIC app, fully deterministic (Gadget-compatible whitenoise, seed
-42).
+manual debugging).  Written BOTH as a bigfile dataset (debug-32/IC,
+the reference container format via utils/bigfile.py) and as a plain
+.npz with the same block names; produced by the in-tree GridIC app,
+fully deterministic (Gadget-compatible whitenoise, seed 42).
 
 Run from the repo root:  python tools/make_debug_ic.py
 """
@@ -59,6 +59,23 @@ def main():
         BoxSize=np.float64(BoxSize), Ngrid=np.int64(Ngrid),
         seed=np.int64(seed), a0=np.float64(a0))
     print('wrote', out, 'stdZA=%.4f' % stats['stdZA'])
+
+    # ... and the bigfile form (the reference's container layout)
+    from pmesh_tpu.utils import bigfile as bf
+    root = os.path.join(os.path.dirname(out), 'IC')
+    bf.write_block(root, 'header', data=None, attrs={
+        'BoxSize': np.float64(BoxSize),
+        'Time': np.float64(a0),
+        'TotNumPart': np.array([0, Ngrid ** 3, 0, 0, 0, 0], 'i8'),
+        'Seed': np.int64(seed)})
+    bf.write_block(root, '1/Position', pos)
+    bf.write_block(root, '1/Velocity', vel.astype('f4'))
+    bf.write_block(root, '1/ID', np.asarray(P['ID'], dtype='i8'))
+    bf.write_block(root, '1/ICDensity',
+                   np.asarray(P['ICDensity'], dtype='f4'))
+    bf.write_block(root, '1/Strain',
+                   np.asarray(strain, dtype='f4'))
+    print('wrote', root)
 
 
 if __name__ == '__main__':
