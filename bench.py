@@ -96,6 +96,62 @@ def main():
     dt_bf16 = measure('mxu_bf16', (0.0, 2.0))
     dt_real = measure('mxu', (-2.0, 3.0))      # nv=6, late-time regime
 
+    # binned slot-lattice (general/clustered positions, ops/binned):
+    # one KDK superstep (rebase_every=2) at 256^3 K=2 — the 512^3
+    # single-chip config needs the chunked rebase (roadmap); on 8
+    # chips the state shards and 1024^3 runs this per-chip shape.
+    def measure_binned():
+        from pmesh_tpu.ops import binned as bn
+        from pmesh_tpu.models.fastpm import leapfrog_factors, FastPM
+        Nb = 256
+        pmb = ParticleMesh(Nmesh=[Nb] * 3, BoxSize=float(Nb),
+                           dtype='f4', resampler='cic')
+        sb = Solver(pmb)
+        key = jax.random.key(0)
+        ks = jax.random.split(key, 6)
+        disp = tuple(0.05 + 0.9 * jax.random.uniform(
+            k, (Nb,) * 3, dtype=jnp.float32) for k in ks[:3])
+        vel = tuple(0.02 * jax.random.normal(
+            k, (Nb,) * 3, dtype=jnp.float32) for k in ks[3:])
+        dslots, vslots, valid = bn.from_lattice(disp, vel, nslots=2)
+        bounds = (-0.5, 1.5)
+        fac = FastPM(sb.cosmology)
+        K1, D1s, K2 = leapfrog_factors([0.5, 0.55, 0.6], fac, 'symp2')
+
+        def force(d, v):
+            F = sb.force_binned(d, v, bounds, fft='mxu')
+            return tuple(tuple(f for f in s) for s in F)
+
+        @jax.jit
+        def superstep(dslots, vslots, valid):
+            F = force(dslots, valid)
+            for i in range(2):
+                vslots = tuple(tuple(v + f * K1[i] for v, f in
+                                     zip(vk, fk))
+                               for vk, fk in zip(vslots, F))
+                dslots = tuple(tuple(s + v * D1s[i] for s, v in
+                                     zip(dk, vk))
+                               for dk, vk in zip(dslots, vslots))
+                F = force(dslots, valid)
+                vslots = tuple(tuple(v + f * K2[i] for v, f in
+                                     zip(vk, fk))
+                               for vk, fk in zip(vslots, F))
+            dslots, valid, (vslots,), ov = bn.rebase(
+                dslots, valid, bounds, extras=(vslots,))
+            return dslots, vslots, valid, ov
+
+        out = superstep(dslots, vslots, valid)
+        float(jnp.sum(out[0][0][0][0, 0, :8]))
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            out = superstep(dslots, vslots, valid)
+            float(jnp.sum(out[0][0][0][0, 0, :8]))
+        # per KDK step (2 steps + 1 rebase per superstep)
+        return (time.perf_counter() - t0) / reps / 2 * 1000.0
+
+    dt_binned = measure_binned()
+
     mp_per_s = (N ** 3 / 1e6) / (dt / 1000.0)
     result = {
         "metric": "pm_gravity_step_512^3_ms",
@@ -110,6 +166,7 @@ def main():
                       "(split-Nyquist, folded force kernels)",
             "bf16_step_ms": round(dt_bf16, 3),
             "realistic_nv6_step_ms": round(dt_real, 3),
+            "binned_step_256^3_ms": round(dt_binned, 3),
             "particles_Mps": round(mp_per_s, 1),
             "device": str(jax.devices()[0]),
         },

@@ -75,7 +75,8 @@ def _drift_offsets(drift_bounds, ndim):
     return list(itertools.product(range(dlo, dhi + 1), repeat=ndim))
 
 
-def rebase(dslots, valid, drift_bounds, extras=(), nslots_out=None):
+def rebase(dslots, valid, drift_bounds, extras=(), nslots_out=None,
+           impl=None):
     """Fold integer drift into cell reassignment.
 
     Parameters
@@ -103,6 +104,12 @@ def rebase(dslots, valid, drift_bounds, extras=(), nslots_out=None):
     axes = tuple(range(ndim))
     Kout = nslots_out if nslots_out is not None else K
     offsets = _drift_offsets(drift_bounds, ndim)
+
+    if impl is None:
+        impl = 'pallas' if _gp._use_pallas(None) else 'xla'
+    if (impl == 'pallas' and ndim == 3
+            and all(-1 <= o <= 1 for off in offsets for o in off)):
+        return _rebase_pallas(dslots, valid, extras, K, Kout, dtype)
 
     new_d = [[jnp.zeros(shape, dtype) for _ in range(ndim)]
              for _ in range(Kout)]
@@ -160,6 +167,37 @@ def rebase(dslots, valid, drift_bounds, extras=(), nslots_out=None):
     new_e = tuple(tuple(tuple(x + bad for x in slot) for slot in e)
                   for e in new_e)
     new_v = tuple(new_v)
+    return new_d, new_v, new_e, overflow
+
+
+def _rebase_pallas(dslots, valid, extras, K, Kout, dtype):
+    """dispatch to the fused plane-walk kernel
+    (ops/binned_pallas.py) and re-validate the particle count (the
+    poison contract of :func:`rebase`)."""
+    from . import binned_pallas as _bp
+    shape = dslots[0][0].shape
+    dstack = jnp.stack([jnp.stack(dk) for dk in dslots])
+    vstack = jnp.stack(list(valid))
+    nextra = len(extras)
+    if nextra:
+        estacks = jnp.stack([
+            jnp.stack([jnp.stack(ek) for ek in e]) for e in extras])
+    else:
+        estacks = jnp.zeros((0,), dtype)
+    nd, nv, ne, overflow = _bp.rebase_fused(
+        dstack, vstack, estacks, K, Kout, nextra)
+    total_in = jnp.sum(vstack)
+    total_out = jnp.sum(nv)
+    lost = total_in - total_out - overflow.astype(dtype)
+    overflow = overflow + jnp.abs(lost).astype(jnp.int32)
+    bad = jnp.where(overflow > 0, jnp.nan, 0.0).astype(dtype)
+    new_d = tuple(tuple(nd[j, a] + bad for a in range(3))
+                  for j in range(Kout))
+    new_v = tuple(nv[j] for j in range(Kout))
+    new_e = tuple(
+        tuple(tuple(ne[e, j, a] + bad for a in range(3))
+              for j in range(Kout))
+        for e in range(nextra))
     return new_d, new_v, new_e, overflow
 
 

@@ -283,7 +283,10 @@ class Field(object):
             other = other.value
         return self.value == other
 
-    __hash__ = None
+    # elementwise __eq__ with identity hashing (the torch-tensor
+    # convention): fields can key dicts/sets by object identity
+    # instead of raising through a None __hash__
+    __hash__ = object.__hash__
 
     def copy(self):
         return self.pm.create(_gettype(self), value=self.value)

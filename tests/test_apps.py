@@ -58,12 +58,26 @@ def test_gravpm_run():
 
 
 def test_gravpm_snapshot(tmp_path):
+    # default container: bigfile (the reference ecosystem format)
     out = str(tmp_path / "run")
     state, spectra = run_sim(nmesh=8, boxsize=64.0, boost=1, steps=3,
                              monitor_print=False, compat='native',
                              resampler='cic', output=out)
     import glob
-    files = glob.glob(out + "/snapshot_*.npz")
+    snaps = glob.glob(out + "/snapshot_*")
+    assert len(snaps) >= 1
+    from pmesh_tpu.models.gravpm import read_ic
+    pos, vel, ids, attrs = read_ic(snaps[0])
+    assert pos.shape == (512, 3)
+    assert vel.shape == (512, 3)
+    assert abs(float(attrs['BoxSize']) - 64.0) < 1e-12
+
+    # npz container still available
+    out2 = str(tmp_path / "run2")
+    run_sim(nmesh=8, boxsize=64.0, boost=1, steps=3,
+            monitor_print=False, compat='native', resampler='cic',
+            output=out2, snapshot_format='npz')
+    files = glob.glob(out2 + "/snapshot_*.npz")
     assert len(files) >= 1
     d = np.load(files[0])
     assert d['Position'].shape == (512, 3)

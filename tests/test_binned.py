@@ -125,3 +125,54 @@ def test_nbody_binned_deep_drift():
     rho = bn.paint_binned(dsl, valid, bounds=(-1.0, 2.0))
     assert np.isfinite(np.asarray(rho)).all()
     assert_allclose(np.asarray(rho), 1.0, atol=1e-9)
+
+
+def test_rebase_pallas_bit_identical():
+    """the fused plane-walk rebase kernel (ops/binned_pallas.py,
+    interpret mode off-TPU) is BIT-identical to the XLA formulation,
+    including slot assignment order, extras, Kout != K, and the
+    overflow count."""
+    N = 8
+    rng = np.random.RandomState(7)
+    ds = tuple(tuple(jnp.asarray(
+        rng.uniform(-0.9, 1.9, (N, N, N)).astype('f4'))
+        for _ in range(3)) for _ in range(2))
+    va = (jnp.asarray((rng.uniform(size=(N, N, N)) < 0.35)
+                      .astype('f4')),
+          jnp.asarray((rng.uniform(size=(N, N, N)) < 0.15)
+                      .astype('f4')))
+    vel = tuple(tuple(jnp.asarray(
+        rng.normal(size=(N, N, N)).astype('f4'))
+        for _ in range(3)) for _ in range(2))
+    rx = bn.rebase(ds, va, (-0.9, 1.9), extras=(vel,), nslots_out=4,
+                   impl='xla')
+    rp = bn.rebase(ds, va, (-0.9, 1.9), extras=(vel,), nslots_out=4,
+                   impl='pallas')
+    assert int(rx[3]) == int(rp[3]) == 0
+    for j in range(4):
+        np.testing.assert_array_equal(np.asarray(rp[1][j]),
+                                      np.asarray(rx[1][j]))
+        for a in range(3):
+            np.testing.assert_array_equal(np.asarray(rp[0][j][a]),
+                                          np.asarray(rx[0][j][a]))
+            np.testing.assert_array_equal(
+                np.asarray(rp[2][0][j][a]),
+                np.asarray(rx[2][0][j][a]))
+
+
+def test_rebase_pallas_x_direction():
+    """a single particle crossing an x-plane boundary lands in the
+    right neighbor (regression: the kernel's sliding-window source
+    slot is p - ox, not p + ox — the mirrored form survived a
+    uniform-shift test)."""
+    N = 8
+    dslots, valid = bn.from_lattice(
+        tuple(jnp.zeros((N, N, N), jnp.float32) for _ in range(3)),
+        nslots=2)
+    d0 = dslots[0][0].at[3, 4, 5].set(1.3)
+    ds = ((d0, dslots[0][1], dslots[0][2]), dslots[1])
+    for impl in ('xla', 'pallas'):
+        nd, nv, ne, ov = bn.rebase(ds, valid, (-0.5, 1.5), impl=impl)
+        v1 = np.asarray(nv[1])
+        assert np.argwhere(v1 > 0).tolist() == [[4, 4, 5]], impl
+        assert abs(float(np.asarray(nd[1][0])[4, 4, 5]) - 0.3) < 1e-6
