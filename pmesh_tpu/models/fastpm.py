@@ -406,10 +406,11 @@ class Solver(object):
         # aligned (fft_mxu ct2 pipeline).  The spectrum is
         # chunk-permuted, so permute the k^2 tables to match; kvecs
         # stay natural (the CT inverse permutes internally).
-        ct = (pmh is None
-              and fft_mxu._ct_factor(shape[0])[0] > 1
+        ct = (fft_mxu._ct_factor(shape[0])[0] > 1
               and fft_mxu._ct_factor(shape[1])[0] > 1
-              and shape[2] % 2 == 0)
+              and shape[2] % 2 == 0
+              and (pmh is None or (shape[0] % pmh.size == 0
+                                   and shape[1] % pmh.size == 0)))
 
         def _invk2(k2):
             return jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0),
@@ -420,8 +421,13 @@ class Solver(object):
             k2x = fft_mxu._ct_table(shape[0], k2_np[0])
             k2y = fft_mxu._ct_table(shape[1], k2_np[1])
             k2z = k2_np[2][:Zm]
-            r, i, nqr, nqi = fft_mxu.fft3_real_forward_half_ct2(
-                rho, precision=precision)
+            if pmh is not None:
+                r, i, nqr, nqi = \
+                    fft_mxu.fft3_real_forward_half_ct2_sharded(
+                        pmh, rho, precision=precision)
+            else:
+                r, i, nqr, nqi = fft_mxu.fft3_real_forward_half_ct2(
+                    rho, precision=precision)
             tie = 0.0 * r[0, 0, 0]
             k2 = ((jnp.asarray(k2x) + tie)[:, None, None]
                   + jnp.asarray(k2y)[None, :, None]
@@ -431,6 +437,12 @@ class Solver(object):
                    + jnp.asarray(k2_np[1])[None, :]
                    + float(k2_np[2][Zm]) + tie)
             invk2p = _invk2(k2p)
+            if pmh is not None:
+                return \
+                    fft_mxu.fft3_real_inverse_grad3_half_ct2_sharded(
+                        pmh, r * invk2, i * invk2, nqr * invk2p,
+                        nqi * invk2p, n2=shape[2], kvecs=kd,
+                        precision=precision)
             return fft_mxu.fft3_real_inverse_grad3_half_ct2(
                 r * invk2, i * invk2, nqr * invk2p, nqi * invk2p,
                 n2=shape[2], kvecs=kd, precision=precision)

@@ -921,7 +921,7 @@ def _zy_forward_real_h_ct2(BX, N1, N2, Zm, prec=None):
     def kernel(x_ref, wzr, wzi, wyr, wyi, or_ref, oi_ref, nq_ref):
         p = x_ref[...].reshape(BX * N1, N2)
         nq_ref[...] = jnp.sum(p * _signs(N2, p.dtype),
-                              axis=1).reshape(BX, N1)
+                              axis=1).reshape(BX, 1, N1)
         zr = _mm(p, wzr[...], prec).reshape(BX, N1, Zm)
         zi = _mm(p, wzi[...], prec).reshape(BX, N1, Zm)
         for b in range(BX):
@@ -945,7 +945,8 @@ def _zy_inverse_to_real_h_ct2(BX, N1, n2, Zm, prec=None,
                                    N1, prec)
             out = _mm(yr, A[...], prec) + _mm(yi, B[...], prec)
             if with_plane:
-                out = out + pl_ref[b][:, None] * _signs(n2, out.dtype)
+                out = out + pl_ref[b, 0][:, None] * _signs(n2,
+                                                           out.dtype)
             o_ref[b] = out
     return kernel
 
@@ -969,6 +970,105 @@ def _plane_fft2(nq_r, nq_i, N0, N1, sign, prec, scale=1.0):
     return sr * scale, si * scale
 
 
+def _zy_fwd_ct2_call(x, N2, Zm, wz, wy, prec):
+    """pass 1 (ct2) on an (n0, N1, N2) block -> (r, i, nyq_plane).
+    The nyq output carries a unit middle axis inside the kernel so
+    its block tiling is always legal; it is squeezed here."""
+    n0, N1, _ = x.shape
+    Ry, My = _ct_factor(N1)
+    BX = _pick_bx(n0, N1, Zm)
+    pr, pi, nq = pl.pallas_call(
+        _zy_forward_real_h_ct2(BX, N1, N2, Zm, prec),
+        grid=(n0 // BX,),
+        in_specs=[_xplane_spec(N1, N2, BX),
+                  _full_spec((N2, Zm)), _full_spec((N2, Zm)),
+                  _full_spec((Ry, My, My)), _full_spec((Ry, My, My))],
+        out_specs=(_xplane_spec(N1, Zm, BX), _xplane_spec(N1, Zm, BX),
+                   pl.BlockSpec((BX, 1, N1), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((n0, N1, Zm), jnp.float32),
+                   jax.ShapeDtypeStruct((n0, N1, Zm), jnp.float32),
+                   jax.ShapeDtypeStruct((n0, 1, N1), jnp.float32)),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(x.astype(jnp.float32), jnp.asarray(wz[0]), jnp.asarray(wz[1]),
+      jnp.asarray(wy[0]), jnp.asarray(wy[1]))
+    return pr, pi, nq[:, 0, :]
+
+
+def _xct_call(pr, pi, wx, scale, prec, inverse=False):
+    """CT x-axis transform of an (N0, n1, W) block.
+
+    Tiles the trailing axis when the (N0, BY, W) block would blow the
+    VMEM pipeline budget (large N0 slab shapes: a (1024, 8, 512)
+    block is 16 MB and 4 of them double-buffered exceed the chip)."""
+    N0, n1, W = pr.shape
+    Rx, Mx = _ct_factor(N0)
+    BY = 8 if n1 % 8 == 0 else n1
+    BZ = W
+    # keep each pipelined ref at <= ~4 MB (the in-kernel CT temps
+    # scale with the block; 8 MB blocks measured 113 MB of scoped
+    # vmem at (1024, 128, 512))
+    while BZ % 2 == 0 and BZ // 2 % 128 == 0 \
+            and N0 * BY * BZ * 4 > 4 * 1024 * 1024:
+        BZ //= 2
+
+    if BZ == W:
+        def yspec():
+            return pl.BlockSpec((N0, BY, W), lambda t: (0, t, 0),
+                                memory_space=pltpu.VMEM)
+        grid = (n1 // BY,)
+        mat_spec = _full_spec((Rx, Mx, Mx))
+    else:
+        def yspec():
+            return pl.BlockSpec((N0, BY, BZ),
+                                lambda t, z: (0, t, z),
+                                memory_space=pltpu.VMEM)
+        grid = (n1 // BY, W // BZ)
+        mat_spec = _full_spec2((Rx, Mx, Mx))
+
+    return pl.pallas_call(
+        _x_transform_ct(N0, BY, BZ, np.float32(scale), prec,
+                        inverse=inverse),
+        grid=grid,
+        in_specs=[yspec(), yspec(), mat_spec, mat_spec],
+        out_specs=(yspec(), yspec()),
+        out_shape=(jax.ShapeDtypeStruct((N0, n1, W), jnp.float32),
+                   jax.ShapeDtypeStruct((N0, n1, W), jnp.float32)),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(pr, pi, jnp.asarray(wx[0]), jnp.asarray(wx[1]))
+
+
+def _zy_inv_ct2_call(rr, ii, Wy, AB, n2, prec, plane=None):
+    """inverse pass (ct2) on an (n0, N1, Zm) block; optionally adds
+    the xy-inverted Nyquist plane with (-1)^n weights."""
+    n0, N1, Zm = rr.shape
+    Ry, My = _ct_factor(N1)
+    BX = _pick_bx(n0, N1, Zm)
+    with_plane = plane is not None
+    in_specs = [_xplane_spec(N1, Zm, BX), _xplane_spec(N1, Zm, BX),
+                _full_spec((Ry, My, My)), _full_spec((Ry, My, My)),
+                _full_spec((Zm, n2)), _full_spec((Zm, n2))]
+    args = [rr, ii, jnp.asarray(Wy[0]), jnp.asarray(Wy[1]),
+            jnp.asarray(AB[0]), jnp.asarray(AB[1])]
+    if with_plane:
+        in_specs.append(pl.BlockSpec((BX, 1, N1),
+                                     lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(plane[:, None, :])
+    return pl.pallas_call(
+        _zy_inverse_to_real_h_ct2(BX, N1, n2, Zm, prec,
+                                  with_plane=with_plane),
+        grid=(n0 // BX,),
+        in_specs=in_specs,
+        out_specs=_xplane_spec(N1, n2, BX),
+        out_shape=jax.ShapeDtypeStruct((n0, N1, n2), jnp.float32),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(*args)
+
+
 @functools.partial(jax.jit, static_argnames=('norm', 'precision'))
 def fft3_real_forward_half_ct2(x, norm=True, precision=None):
     """split-Nyquist CT forward: returns (r, i, nqr, nqi) — the main
@@ -981,48 +1081,14 @@ def fft3_real_forward_half_ct2(x, norm=True, precision=None):
     if Rx == 1 or Ry == 1 or N2 % 2:
         raise ValueError("ct2 needs N0/N1 = R*128k and even N2 "
                          "(got %s)" % ((N0, N1, N2),))
-    wzr, wzi = (jnp.asarray(a) for a in _dft_half_np(N2, Zm))
+    wz = _dft_half_np(N2, Zm)
     wy = _ct_fwd_mats_np(N1)
     wx = _ct_fwd_mats_np(N0)
     prec = _resolve_prec(precision)
 
-    BX = _pick_bx(N0, N1, Zm)
-    pr, pi, nq = pl.pallas_call(
-        _zy_forward_real_h_ct2(BX, N1, N2, Zm, prec),
-        grid=(N0 // BX,),
-        in_specs=[_xplane_spec(N1, N2, BX),
-                  _full_spec((N2, Zm)), _full_spec((N2, Zm)),
-                  _full_spec((Ry, My, My)), _full_spec((Ry, My, My))],
-        out_specs=(_xplane_spec(N1, Zm, BX), _xplane_spec(N1, Zm, BX),
-                   pl.BlockSpec((BX, N1), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((N0, N1, Zm), jnp.float32),
-                   jax.ShapeDtypeStruct((N0, N1, Zm), jnp.float32),
-                   jax.ShapeDtypeStruct((N0, N1), jnp.float32)),
-        compiler_params=_params(),
-        interpret=_interpret(),
-    )(x.astype(jnp.float32), wzr, wzi,
-      jnp.asarray(wy[0]), jnp.asarray(wy[1]))
-
+    pr, pi, nq = _zy_fwd_ct2_call(x, N2, Zm, wz, wy, prec)
     scale = 1.0 / (N0 * N1 * N2) if norm else 1.0
-    BY = 8 if N1 % 8 == 0 else N1
-
-    def yspec():
-        return pl.BlockSpec((N0, BY, Zm), lambda t: (0, t, 0),
-                            memory_space=pltpu.VMEM)
-
-    rr, ii = pl.pallas_call(
-        _x_transform_ct(N0, BY, Zm, np.float32(scale), prec),
-        grid=(N1 // BY,),
-        in_specs=[yspec(), yspec(),
-                  _full_spec((Rx, Mx, Mx)), _full_spec((Rx, Mx, Mx))],
-        out_specs=(yspec(), yspec()),
-        out_shape=(jax.ShapeDtypeStruct((N0, N1, Zm), jnp.float32),
-                   jax.ShapeDtypeStruct((N0, N1, Zm), jnp.float32)),
-        compiler_params=_params(),
-        interpret=_interpret(),
-    )(pr, pi, jnp.asarray(wx[0]), jnp.asarray(wx[1]))
-
+    rr, ii = _xct_call(pr, pi, wx, scale, prec)
     nqr, nqi = _plane_fft2(nq, None, N0, N1, -1, prec,
                            jnp.float32(scale))
     return rr, ii, nqr, nqi
@@ -1052,50 +1118,6 @@ def fft3_real_inverse_grad3_half_ct2(r, i, nqr, nqi, n2, kvecs,
     A_g, B_g = _irfft_mats_np(n2, Zm, grad_kvec=kvecs[2][:Zm],
                               nyquist_last=False)
 
-    BY = 8 if N1 % 8 == 0 else N1
-    BX = _pick_bx(N0, N1, Zm)
-
-    def yspec():
-        return pl.BlockSpec((N0, BY, Zm), lambda t: (0, t, 0),
-                            memory_space=pltpu.VMEM)
-
-    def xpass(rr, ii, W):
-        return pl.pallas_call(
-            _x_transform_ct(N0, BY, Zm, np.float32(1.0), prec,
-                            inverse=True),
-            grid=(N1 // BY,),
-            in_specs=[yspec(), yspec(),
-                      _full_spec((Rx, Mx, Mx)),
-                      _full_spec((Rx, Mx, Mx))],
-            out_specs=(yspec(), yspec()),
-            out_shape=(jax.ShapeDtypeStruct((N0, N1, Zm), jnp.float32),
-                       jax.ShapeDtypeStruct((N0, N1, Zm), jnp.float32)),
-            compiler_params=_params(),
-            interpret=_interpret(),
-        )(rr, ii, jnp.asarray(W[0]), jnp.asarray(W[1]))
-
-    def zypass(rr, ii, Wy, AB, plane=None):
-        with_plane = plane is not None
-        in_specs = [_xplane_spec(N1, Zm, BX), _xplane_spec(N1, Zm, BX),
-                    _full_spec((Ry, My, My)), _full_spec((Ry, My, My)),
-                    _full_spec((Zm, n2)), _full_spec((Zm, n2))]
-        args = [rr, ii, jnp.asarray(Wy[0]), jnp.asarray(Wy[1]),
-                jnp.asarray(AB[0]), jnp.asarray(AB[1])]
-        if with_plane:
-            in_specs.append(pl.BlockSpec((BX, N1), lambda i: (i, 0),
-                                         memory_space=pltpu.VMEM))
-            args.append(plane)
-        return pl.pallas_call(
-            _zy_inverse_to_real_h_ct2(BX, N1, n2, Zm, prec,
-                                      with_plane=with_plane),
-            grid=(N0 // BX,),
-            in_specs=in_specs,
-            out_specs=_xplane_spec(N1, n2, BX),
-            out_shape=jax.ShapeDtypeStruct((N0, N1, n2), jnp.float32),
-            compiler_params=_params(),
-            interpret=_interpret(),
-        )(*args)
-
     # Nyquist-plane force contributions (fx, fy only; the z kernel
     # vanishes at Nyquist): i*k ⊙ plane, inverse 2-d, real part
     kx = np.asarray(kvecs[0], np.float32)
@@ -1107,12 +1129,127 @@ def fft3_real_inverse_grad3_half_ct2(r, i, nqr, nqi, n2, kvecs,
     plane_x = _plane_fft2(px_r, px_i, N0, N1, +1, prec)[0]
     plane_y = _plane_fft2(py_r, py_i, N0, N1, +1, prec)[0]
 
-    sr, si = xpass(r, i, wx)
-    fy = zypass(sr, si, wy_g, (A_p, B_p), plane=plane_y)
-    fz = zypass(sr, si, wy, (A_g, B_g))
-    gr, gi = xpass(r, i, wx_g)
-    fx = zypass(gr, gi, wy, (A_p, B_p), plane=plane_x)
+    sr, si = _xct_call(r, i, wx, 1.0, prec, inverse=True)
+    fy = _zy_inv_ct2_call(sr, si, wy_g, (A_p, B_p), n2, prec,
+                          plane=plane_y)
+    fz = _zy_inv_ct2_call(sr, si, wy, (A_g, B_g), n2, prec)
+    gr, gi = _xct_call(r, i, wx_g, 1.0, prec, inverse=True)
+    fx = _zy_inv_ct2_call(gr, gi, wy, (A_p, B_p), n2, prec,
+                          plane=plane_x)
     return fx, fy, fz
+
+
+# --- sharded split-Nyquist CT pipeline -----------------------------------
+
+@functools.partial(jax.jit,
+                   static_argnames=('procmesh', 'norm', 'precision'))
+def fft3_real_forward_half_ct2_sharded(procmesh, x, norm=True,
+                                       precision=None):
+    """pencil-sharded ct2 forward: pass 1 (z half + CT-y) local per
+    slab, one all_to_all transpose (splitting the PERMUTED y axis),
+    CT x-pass local on the transposed layout.  The tiny Nyquist plane
+    is all_gathered and transformed replicated (1/Zm of the volume).
+
+    x: (N0, N1, N2) sharded P(ax, None, None).  Returns (r, i) of
+    (N0, N1, Zm) chunk-permuted, sharded P(None, ax, None), and
+    (nqr, nqi) of (N0, N1), replicated.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    N0, N1, N2 = x.shape
+    Zm = N2 // 2
+    D = procmesh.size
+    ax = procmesh.axis
+    if _ct_factor(N0)[0] == 1 or _ct_factor(N1)[0] == 1 or N2 % 2 \
+            or N0 % D or N1 % D:
+        raise ValueError(
+            "ct2_sharded needs N0/N1 = R*128k, even N2, and N0/N1 "
+            "divisible by the device count (got %s on %d)"
+            % ((N0, N1, N2), D))
+    wz = _dft_half_np(N2, Zm)
+    wy = _ct_fwd_mats_np(N1)
+    wx = _ct_fwd_mats_np(N0)
+    prec = _resolve_prec(precision)
+    scale = 1.0 / (N0 * N1 * N2) if norm else 1.0
+
+    def local(xl):
+        pr, pi, nq = _zy_fwd_ct2_call(xl, N2, Zm, wz, wy, prec)
+        pr = jax.lax.all_to_all(pr, ax, split_axis=1, concat_axis=0,
+                                tiled=True)
+        pi = jax.lax.all_to_all(pi, ax, split_axis=1, concat_axis=0,
+                                tiled=True)
+        rr, ii = _xct_call(pr, pi, wx, scale, prec)
+        nq_full = jax.lax.all_gather(nq, ax, tiled=True)
+        return rr, ii, nq_full
+
+    fn = shard_map(local, mesh=procmesh.mesh,
+                   in_specs=P(ax, None, None),
+                   out_specs=(P(None, ax, None), P(None, ax, None),
+                              P()),
+                   check_vma=False)
+    rr, ii, nq = fn(x)
+    nqr, nqi = _plane_fft2(nq, None, N0, N1, -1, prec,
+                           jnp.float32(scale))
+    return rr, ii, nqr, nqi
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'procmesh', 'n2', 'kvecs', 'precision'))
+def fft3_real_inverse_grad3_half_ct2_sharded(procmesh, r, i, nqr,
+                                             nqi, n2, kvecs,
+                                             precision=None):
+    """pencil-sharded ct2 spectral force triple: CT x-inverses local
+    on the transposed layout (the y/z components share one), a2a
+    back, ct2 zy-inverse local per slab with the Nyquist planes
+    sliced per slab.  Force meshes return P(ax, None, None)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    N0, N1, Zm = r.shape
+    D = procmesh.size
+    ax = procmesh.axis
+    for d, n in ((0, N0), (1, N1)):
+        if n % 2 == 0 and abs(kvecs[d][n // 2]) > 1e-12:
+            raise ValueError(
+                "kvecs[%d] must vanish at the Nyquist index for the "
+                "half-spectrum gradient" % d)
+    prec = _resolve_prec(precision)
+    wy = _ct_inv_mats_np(N1)
+    wx = _ct_inv_mats_np(N0)
+    wx_g = _ct_inv_mats_np(N0, fold_kvec=kvecs[0])
+    wy_g = _ct_inv_mats_np(N1, fold_kvec=kvecs[1])
+    A_p, B_p = _irfft_mats_np(n2, Zm, nyquist_last=False)
+    A_g, B_g = _irfft_mats_np(n2, Zm, grad_kvec=kvecs[2][:Zm],
+                              nyquist_last=False)
+
+    kx = np.asarray(kvecs[0], np.float32)
+    ky = np.asarray(kvecs[1], np.float32)
+    plane_x = _plane_fft2(-nqi * kx[:, None], nqr * kx[:, None],
+                          N0, N1, +1, prec)[0]
+    plane_y = _plane_fft2(-nqi * ky[None, :], nqr * ky[None, :],
+                          N0, N1, +1, prec)[0]
+
+    def a2a_back(a):
+        return jax.lax.all_to_all(a, ax, split_axis=0, concat_axis=1,
+                                  tiled=True)
+
+    def local(rl, il, plx, ply):
+        sr, si = _xct_call(rl, il, wx, 1.0, prec, inverse=True)
+        sr, si = a2a_back(sr), a2a_back(si)
+        fy = _zy_inv_ct2_call(sr, si, wy_g, (A_p, B_p), n2, prec,
+                              plane=ply)
+        fz = _zy_inv_ct2_call(sr, si, wy, (A_g, B_g), n2, prec)
+        gr, gi = _xct_call(rl, il, wx_g, 1.0, prec, inverse=True)
+        gr, gi = a2a_back(gr), a2a_back(gi)
+        fx = _zy_inv_ct2_call(gr, gi, wy, (A_p, B_p), n2, prec,
+                              plane=plx)
+        return fx, fy, fz
+
+    fn = shard_map(local, mesh=procmesh.mesh,
+                   in_specs=(P(None, ax, None), P(None, ax, None),
+                             P(ax, None), P(ax, None)),
+                   out_specs=(P(ax, None, None),) * 3,
+                   check_vma=False)
+    return fn(r, i, plane_x, plane_y)
 
 
 # --- sharded (pencil) hermitian-half transforms --------------------------

@@ -104,16 +104,26 @@ def _plane_spec(n1, n2, offset=0):
 
 # pipelined refs are double-buffered; keep their total under this
 # budget (v5e VMEM is 128 MiB; leave room for compute temps — wide
-# offset ranges were measured to exceed VMEM at 60 MiB).
+# UNROLLED offset ranges were measured to exceed VMEM at 60 MiB via
+# register spills, which the fori_loop form now avoids; 72 MiB keeps
+# the nv=3 1024-slab paint in ONE chunk instead of three re-reads).
 # module-level so the wide-bounds test can shrink it to force chunking
-_REF_BUDGET_BYTES = 40 * 1024 * 1024
+_REF_BUDGET_BYTES = 72 * 1024 * 1024
 
 
 def _offset_chunks(vmin, vmax, refs_per_offset, fixed_refs,
                    plane_bytes):
     """split [vmin, vmax] into chunks whose pipelined plane refs fit
-    the VMEM budget (each ref is double-buffered)."""
-    per_chunk = max(1, (_REF_BUDGET_BYTES // (2 * plane_bytes)
+    the VMEM budget (each ref is double-buffered).  The in-kernel
+    temporaries (per-offset weight planes + accumulators) scale with
+    the plane size too, so the ref budget shrinks for large planes
+    (measured: a 1024^2-plane readout at the static budget exceeded
+    scoped vmem by 17 MB)."""
+    nv = vmax - vmin + 1
+    temps = (2 * nv + 6) * plane_bytes
+    budget = min(_REF_BUDGET_BYTES,
+                 max(2 * plane_bytes, 96 * 1024 * 1024 - temps))
+    per_chunk = max(1, (budget // (2 * plane_bytes)
                         - fixed_refs) // refs_per_offset)
     chunks = []
     v0 = vmin

@@ -163,3 +163,34 @@ def test_sharded_force_lattice_xla_default(pmesh8, fields):
     F8 = Solver(pm8).force_lattice(dsh, bounds=(0., 1.))
     for a, b in zip(F8, F1):
         assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_sharded_ct2_fft_matches(pmesh8):
+    """the pencil ct2 pipeline (CT-factored x/y, split Nyquist) under
+    shard_map matches the single-device ct2 transforms."""
+    from pmesh_tpu.ops import fft_mxu as fm
+    N = 256
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.normal(size=(N, N, N)).astype('f4'))
+    xs = _sharded(pmesh8, x)
+    r1, i1, nqr1, nqi1 = fm.fft3_real_forward_half_ct2(x)
+    r8, i8, nqr8, nqi8 = fm.fft3_real_forward_half_ct2_sharded(
+        pmesh8, xs)
+    assert_allclose(np.asarray(r8), np.asarray(r1), atol=2e-6)
+    assert_allclose(np.asarray(i8), np.asarray(i1), atol=2e-6)
+    assert_allclose(np.asarray(nqr8), np.asarray(nqr1), atol=2e-6)
+
+    w = np.fft.fftfreq(N) * 2 * np.pi
+    k1 = tuple(((8 * np.sin(w) - np.sin(2 * w)) / 6.0).tolist())
+    wz = np.fft.rfftfreq(N) * 2 * np.pi
+    kz = tuple(((8 * np.sin(wz) - np.sin(2 * wz)) / 6.0).tolist())
+    kd = (k1, k1, kz)
+    f1 = fm.fft3_real_inverse_grad3_half_ct2(r1, i1, nqr1, nqi1,
+                                             n2=N, kvecs=kd)
+    f8 = fm.fft3_real_inverse_grad3_half_ct2_sharded(
+        pmesh8, r8, i8, nqr8, nqi8, n2=N, kvecs=kd)
+    for a, b in zip(f8, f1):
+        e = float(jnp.max(jnp.abs(a - b)))
+        s = float(jnp.max(jnp.abs(b)))
+        assert e / s < 1e-5
+        assert a.sharding.spec[0] == 'x'

@@ -69,42 +69,31 @@ def main():
                                    nrows=ROWS)
     t_paint = timeit("paint slab (128+2,1024^2)", paint, disp)
 
-    wz = tuple(jnp.asarray(a) for a in fm._dft_half_np(N2, Zh))
-    wy = tuple(jnp.asarray(a) for a in fm._dft_np(N1, -1))
-    wx = tuple(jnp.asarray(a) for a in fm._dft_np(N1 * 0 + 1024, -1))
+    # the ct2 pipeline per-chip stages (the production sharded path)
+    wz = fm._dft_half_np(N2, Zh)
+    wy = fm._ct_fwd_mats_np(N1)
+    wx = fm._ct_fwd_mats_np(1024)
 
     @jax.jit
     def zyfwd(x):
-        return fm._zy_fwd_half_call(x, N2, Zh, wz[0], wz[1],
-                                    wy[0], wy[1], None)
-    t_zy = timeit("fwd zy pass (slab)", zyfwd, slab)
+        return fm._zy_fwd_ct2_call(x, N2, Zh, wz, wy, None)
+    t_zy = timeit("fwd zy ct2 pass (slab)", zyfwd, slab)
 
-    # x pass: 4 real matmuls (N0 x N0) @ (N0, rows*Zh) at
-    # precision float32 — timed as the equivalent XLA dot (same MACs
-    # on the same MXU; the pallas block layout at this shape exceeds
-    # the per-call VMEM budget and compiles pathologically slowly
-    # remotely, a known round-3 tuning item)
-    spec = jax.random.normal(ks[0], (1024, ROWS * Zh), jnp.float32)
+    spec = jax.random.normal(ks[0], (1024, ROWS, Zh), jnp.float32)
 
     @jax.jit
     def xpass(r, i):
-        pf32 = jax.lax.Precision('float32')
-        rr = (jnp.dot(wx[0], r, precision=pf32)
-              - jnp.dot(wx[1], i, precision=pf32))
-        ii = (jnp.dot(wx[0], i, precision=pf32)
-              + jnp.dot(wx[1], r, precision=pf32))
-        return rr, ii
-    t_x = timeit("x pass (4 matmuls 1024x(128*512))", xpass, spec,
-                 spec)
+        return fm._xct_call(r, i, wx, 1.0, None)
+    t_x = timeit("x ct pass (1024,128,512)", xpass, spec, spec)
 
-    wyi = fm._dft_np(N1, +1)
-    A_p, B_p = fm._irfft_mats_np(N2, Zh)
+    wyi = fm._ct_inv_mats_np(N1)
+    A_p, B_p = fm._irfft_mats_np(N2, Zh, nyquist_last=False)
     half = jax.random.normal(ks[1], (ROWS, N1, Zh), jnp.float32)
 
     @jax.jit
     def zyinv(r, i):
-        return fm._zy_inv_half_call(r, i, wyi, (A_p, B_p), N2, None)
-    t_zyi = timeit("inv zy pass (slab)", zyinv, half, half)
+        return fm._zy_inv_ct2_call(r, i, wyi, (A_p, B_p), N2, None)
+    t_zyi = timeit("inv zy ct2 pass (slab)", zyinv, half, half)
 
     mesh = jax.random.normal(ks[2], (ROWS + 2, N1, N2), jnp.float32)
 
