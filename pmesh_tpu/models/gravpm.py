@@ -123,12 +123,13 @@ def _run_lattice(pm, solver, dlin, ainit, afinal, steps, order,
 
     spectra = []
 
-    impl = 'xla' if pm.procmesh is not None else None
+    pmh = (pm.procmesh if pm.procmesh is not None
+           and pm.procmesh.size > 1 else None)
 
     def measure(a, disp):
         rho = gridpm.paint_grid(disp, bounds=bounds,
                                 window=pm.resampler.window.kind,
-                                impl=impl)
+                                procmesh=pmh)
         field = pm.create(type='real', value=rho)
         k, p, n = _fftpower(field, Nbins=nmesh // 4,
                             remove_shotnoise=float(

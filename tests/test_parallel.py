@@ -112,3 +112,32 @@ def test_indivisible_mesh_raises_clearly(pmesh8):
                      procmesh=pmesh8)
     with pytest.raises(ValueError, match="1-d meshes"):
         ParticleMesh(BoxSize=8.0, Nmesh=[128], procmesh=pmesh8)
+
+
+def test_sharded_resample_ravel_preview(pmesh8):
+    """resample/ravel/preview on sharded fields match single-device
+    (round-1 weak item 7).  resample gathers the source modes — fine
+    functionally; memory is bounded by the SOURCE spectrum size."""
+    pm1 = ParticleMesh(BoxSize=8.0, Nmesh=[16, 16, 16])
+    pm8 = ParticleMesh(BoxSize=8.0, Nmesh=[16, 16, 16],
+                       procmesh=pmesh8)
+    pm8_small = ParticleMesh(BoxSize=8.0, Nmesh=[8, 8, 8],
+                             procmesh=pmesh8)
+    pm1_small = ParticleMesh(BoxSize=8.0, Nmesh=[8, 8, 8])
+    rng = np.random.RandomState(11)
+    v = rng.uniform(size=(16, 16, 16))
+
+    r1 = pm1.create(type='real', value=v)
+    r8 = pm8.create(type='real', value=v)
+
+    out1 = pm1_small.create(type='real')
+    out8 = pm8_small.create(type='real')
+    r1.resample(out1)
+    r8.resample(out8)
+    assert_allclose(np.asarray(out8.value), np.asarray(out1.value),
+                    atol=1e-12)
+
+    assert_allclose(np.asarray(r8.ravel()), np.asarray(r1.ravel()),
+                    atol=0)
+    assert_allclose(r8.preview(axes=[0, 1]), r1.preview(axes=[0, 1]),
+                    atol=1e-12)
