@@ -167,6 +167,10 @@ def main():
             "bf16_step_ms": round(dt_bf16, 3),
             "realistic_nv6_step_ms": round(dt_real, 3),
             "binned_step_256^3_ms": round(dt_binned, 3),
+            # PROJECTED, not measured: per-chip slab kernels timed on
+            # one chip + stated a2a assumptions (tools/project_1024.py,
+            # 2026-08-17; multi-chip hardware unavailable here)
+            "projected_1024^3_v5e8_step_ms": "460-490 (see PLAN.md)",
             "particles_Mps": round(mp_per_s, 1),
             "device": str(jax.devices()[0]),
         },
