@@ -46,6 +46,15 @@ __all__ = ["fft3_real_forward", "fft3_real_inverse",
 # relative error — set per call via the `precision` argument
 _PREC = jax.lax.Precision('float32')
 
+# per-shape tuning overrides, consulted by the block-size heuristics
+# below.  Keys (all optional; tools/tune_slab.py sweeps them on the
+# real chip):
+#   'bx:<n0>x<n1>x<w>'   : BX for a zy pass on that block shape
+#   'xct_ref_bytes'      : per-ref ceiling of the x-CT pass pipeline
+#   'xct_flat'           : force the flat (reshape) x-kernel on/off
+#   'radix:<n>'          : CT radix for axis length n (8/4/2)
+TUNE = {}
+
 
 def _interpret():
     return jax.default_backend() != 'tpu'
@@ -94,9 +103,25 @@ def _xplane_spec(n1, n2, bx=1):
                         memory_space=pltpu.VMEM)
 
 
-def _pick_bx(N0, N1, N2):
+def _pick_bx(N0, N1, N2, tag=''):
     # planes per pass-1 program: amortize the DFT-matrix DMA and give
-    # the MXU taller matmuls, inside the VMEM budget (5 buffers x2)
+    # the MXU taller matmuls, inside the VMEM budget (5 buffers x2).
+    # tag distinguishes call sites sharing a shape (zyf/zyi); sweep
+    # results (tools/tune_slab.py, v5e, 1024-slab shapes) are seeded
+    # as defaults below.
+    t = TUNE.get('bx:%s:%dx%dx%d' % (tag, N0, N1, N2),
+                 TUNE.get('bx:%dx%dx%d' % (N0, N1, N2)))
+    if t:
+        return int(t)
+    if tag == 'zyi':
+        # measured on v5e (chain-differenced): the inverse pass wants
+        # deeper pipelining than the 2-plane heuristic picks — BX=4 at
+        # (128, 1024, 512) runs 11.1 ms vs 13.2 at BX=2
+        bx = 1
+        while (N0 % (bx * 2) == 0
+               and bx * 2 * N1 * N2 * 4 * 10 < 160 * 1024 * 1024):
+            bx *= 2
+        return bx
     bx = 1
     while (N0 % (bx * 2) == 0
            and bx * 2 * N1 * N2 * 4 * 10 < 80 * 1024 * 1024):
@@ -110,40 +135,6 @@ def _yzblock_spec(n0, by, bz):
 
 
 # --- pass 1: z- and y-axis DFT per x-plane -----------------------------
-
-def _zy_forward_real(BX, N1, N2, prec=None):
-    """real (BX, N1, N2) block -> complex block after z,y transforms.
-    The z matmul runs on the flattened (BX*N1, N2) block; the y
-    transform loops the BX planes (static unroll)."""
-    def kernel(x_ref, wzr, wzi, wyr, wyi, or_ref, oi_ref):
-        p = x_ref[...].reshape(BX * N1, N2)
-        # z axis: p @ Wz (p real: 2 matmuls)
-        zr = _mm(p, wzr[...], prec).reshape(BX, N1, N2)
-        zi = _mm(p, wzi[...], prec).reshape(BX, N1, N2)
-        # y axis: Wy @ z, per plane
-        for b in range(BX):
-            or_ref[b] = (_mm(wyr[...], zr[b], prec)
-                         - _mm(wyi[...], zi[b], prec))
-            oi_ref[b] = (_mm(wyr[...], zi[b], prec)
-                         + _mm(wyi[...], zr[b], prec))
-    return kernel
-
-
-def _zy_inverse_to_real(BX, N1, N2, scale, prec=None):
-    """complex block -> real block via inverse z,y transforms."""
-    def kernel(xr_ref, xi_ref, wzr, wzi, wyr, wyi, o_ref):
-        pr = xr_ref[...].reshape(BX * N1, N2)
-        pi = xi_ref[...].reshape(BX * N1, N2)
-        zr = (_mm(pr, wzr[...], prec)
-              - _mm(pi, wzi[...], prec)).reshape(BX, N1, N2)
-        zi = (_mm(pr, wzi[...], prec)
-              + _mm(pi, wzr[...], prec)).reshape(BX, N1, N2)
-        # final y transform: only the real part of the output matters
-        for b in range(BX):
-            o_ref[b] = (_mm(wyr[...], zr[b], prec)
-                        - _mm(wyi[...], zi[b], prec)) * scale
-    return kernel
-
 
 # --- pass 2: x-axis DFT over y-blocks ----------------------------------
 
@@ -184,50 +175,6 @@ def _pick_byz(N0, N1, N2):
     return by, bz
 
 
-@functools.partial(jax.jit, static_argnames=('norm', 'precision'))
-def fft3_real_forward(x, norm=True, precision=None):
-    """full-spectrum forward 3-d FFT of a real array.
-
-    Returns (real, imag) f32 arrays of the same shape; scaled by
-    1/prod(N) when norm=True (the engine's r2c convention).
-    """
-    N0, N1, N2 = x.shape
-    wzr, wzi = _dft(N2, -1)
-    wyr, wyi = _dft(N1, -1)
-    wxr, wxi = _dft(N0, -1)
-
-    BX = _pick_bx(N0, N1, N2)
-    prec = _resolve_prec(precision)
-    pr, pi = pl.pallas_call(
-        _zy_forward_real(BX, N1, N2, prec),
-        grid=(N0 // BX,),
-        in_specs=[_xplane_spec(N1, N2, BX),
-                  _full_spec((N2, N2)), _full_spec((N2, N2)),
-                  _full_spec((N1, N1)), _full_spec((N1, N1))],
-        out_specs=(_xplane_spec(N1, N2, BX), _xplane_spec(N1, N2, BX)),
-        out_shape=(jax.ShapeDtypeStruct((N0, N1, N2), jnp.float32),
-                   jax.ShapeDtypeStruct((N0, N1, N2), jnp.float32)),
-        compiler_params=_params(),
-        interpret=_interpret(),
-    )(x.astype(jnp.float32), wzr, wzi, wyr, wyi)
-
-    BY, BZ = _pick_byz(N0, N1, N2)
-    scale = 1.0 / (N0 * N1 * N2) if norm else 1.0
-    rr, ii = pl.pallas_call(
-        _x_transform(N0, BY, BZ, np.float32(scale), prec),
-        grid=(N1 // BY, N2 // BZ),
-        in_specs=[_yzblock_spec(N0, BY, BZ), _yzblock_spec(N0, BY, BZ),
-                  _full_spec2((N0, N0)), _full_spec2((N0, N0))],
-        out_specs=(_yzblock_spec(N0, BY, BZ),
-                   _yzblock_spec(N0, BY, BZ)),
-        out_shape=(jax.ShapeDtypeStruct((N0, N1, N2), jnp.float32),
-                   jax.ShapeDtypeStruct((N0, N1, N2), jnp.float32)),
-        compiler_params=_params(),
-        interpret=_interpret(),
-    )(pr, pi, wxr, wxi)
-    return rr, ii
-
-
 def _fold_i_freq(Wr, Wi, freqs, side):
     """fold diag(i * freqs) into a (numpy) DFT matrix (rows:
     side='left', columns: side='right').  Multiplying the spectrum by
@@ -237,128 +184,6 @@ def _fold_i_freq(Wr, Wi, freqs, side):
     if side == 'left':
         return -Wi * f[:, None], Wr * f[:, None]
     return -Wi * f[None, :], Wr * f[None, :]
-
-
-@functools.partial(jax.jit, static_argnames=('grad', 'kvec',
-                                              'precision'))
-def fft3_real_inverse(r, i, grad=None, kvec=None, precision=None):
-    """inverse of :func:`fft3_real_forward` up to normalization: the
-    UNNORMALIZED conjugate-sum inverse (the engine's c2r convention —
-    `c2r(r2c(x)) == x` when the forward used norm=True).  Returns the
-    real part.
-
-    grad : None or axis index.  With an axis, the spectrum is
-    multiplied by ``i * kvec_d`` before inverting — folded into the
-    per-axis DFT matrix, so a spectral derivative costs NOTHING extra
-    (the PM force kernel, examples/nbody.py:162-169 with order=0).
-    ``kvec`` is a static TUPLE of the wavenumbers for that axis.
-    """
-    if grad is not None and kvec is None:
-        raise ValueError("grad=%r needs kvec (a static tuple of the "
-                         "wavenumbers along that axis)" % (grad,))
-    N0, N1, N2 = r.shape
-    wzr, wzi = _dft_np(N2, +1)
-    wyr, wyi = _dft_np(N1, +1)
-    wxr, wxi = _dft_np(N0, +1)
-    if grad == 0:
-        wxr, wxi = _fold_i_freq(wxr, wxi, kvec, 'right')
-    elif grad == 1:
-        wyr, wyi = _fold_i_freq(wyr, wyi, kvec, 'right')
-    elif grad == 2:
-        wzr, wzi = _fold_i_freq(wzr, wzi, kvec, 'left')
-    wzr, wzi = jnp.asarray(wzr), jnp.asarray(wzi)
-    wyr, wyi = jnp.asarray(wyr), jnp.asarray(wyi)
-    wxr, wxi = jnp.asarray(wxr), jnp.asarray(wxi)
-
-    prec = _resolve_prec(precision)
-    BY, BZ = _pick_byz(N0, N1, N2)
-    pr, pi = pl.pallas_call(
-        _x_transform(N0, BY, BZ, np.float32(1.0), prec),
-        grid=(N1 // BY, N2 // BZ),
-        in_specs=[_yzblock_spec(N0, BY, BZ), _yzblock_spec(N0, BY, BZ),
-                  _full_spec2((N0, N0)), _full_spec2((N0, N0))],
-        out_specs=(_yzblock_spec(N0, BY, BZ),
-                   _yzblock_spec(N0, BY, BZ)),
-        out_shape=(jax.ShapeDtypeStruct((N0, N1, N2), jnp.float32),
-                   jax.ShapeDtypeStruct((N0, N1, N2), jnp.float32)),
-        compiler_params=_params(),
-        interpret=_interpret(),
-    )(r, i, wxr, wxi)
-
-    BX = _pick_bx(N0, N1, N2)
-    out = pl.pallas_call(
-        _zy_inverse_to_real(BX, N1, N2, np.float32(1.0), prec),
-        grid=(N0 // BX,),
-        in_specs=[_xplane_spec(N1, N2, BX), _xplane_spec(N1, N2, BX),
-                  _full_spec((N2, N2)), _full_spec((N2, N2)),
-                  _full_spec((N1, N1)), _full_spec((N1, N1))],
-        out_specs=_xplane_spec(N1, N2, BX),
-        out_shape=jax.ShapeDtypeStruct((N0, N1, N2), jnp.float32),
-        compiler_params=_params(),
-        interpret=_interpret(),
-    )(pr, pi, wzr, wzi, wyr, wyi)
-    return out
-
-
-@functools.partial(jax.jit, static_argnames=('kvecs', 'precision'))
-def fft3_real_inverse_grad3(r, i, kvecs, precision=None):
-    """the spectral force triple: (ifft(i kx s), ifft(i ky s),
-    ifft(i kz s)) for one spectrum s = (r, i), sharing work.
-
-    The y- and z-gradient components fold their i*k factor into the
-    PASS-1 matrices, so they share ONE unmodified x-axis pass —
-    5 pallas passes total instead of 6 for three separate inverses.
-    ``kvecs`` is a static tuple of 3 wavenumber tuples.
-    """
-    N0, N1, N2 = r.shape
-    wz = _dft_np(N2, +1)
-    wy = _dft_np(N1, +1)
-    wx = _dft_np(N0, +1)
-    wx_g = _fold_i_freq(*wx, kvecs[0], 'right')
-    wy_g = _fold_i_freq(*wy, kvecs[1], 'right')
-    wz_g = _fold_i_freq(*wz, kvecs[2], 'left')
-
-    prec = _resolve_prec(precision)
-    BY, BZ = _pick_byz(N0, N1, N2)
-    BX = _pick_bx(N0, N1, N2)
-
-    def xpass(rr, ii, W):
-        return pl.pallas_call(
-            _x_transform(N0, BY, BZ, np.float32(1.0), prec),
-            grid=(N1 // BY, N2 // BZ),
-            in_specs=[_yzblock_spec(N0, BY, BZ),
-                      _yzblock_spec(N0, BY, BZ),
-                      _full_spec2((N0, N0)), _full_spec2((N0, N0))],
-            out_specs=(_yzblock_spec(N0, BY, BZ),
-                       _yzblock_spec(N0, BY, BZ)),
-            out_shape=(jax.ShapeDtypeStruct((N0, N1, N2), jnp.float32),
-                       jax.ShapeDtypeStruct((N0, N1, N2), jnp.float32)),
-            compiler_params=_params(),
-            interpret=_interpret(),
-        )(rr, ii, jnp.asarray(W[0]), jnp.asarray(W[1]))
-
-    def zypass(rr, ii, Wz, Wy):
-        return pl.pallas_call(
-            _zy_inverse_to_real(BX, N1, N2, np.float32(1.0), prec),
-            grid=(N0 // BX,),
-            in_specs=[_xplane_spec(N1, N2, BX), _xplane_spec(N1, N2, BX),
-                      _full_spec((N2, N2)), _full_spec((N2, N2)),
-                      _full_spec((N1, N1)), _full_spec((N1, N1))],
-            out_specs=_xplane_spec(N1, N2, BX),
-            out_shape=jax.ShapeDtypeStruct((N0, N1, N2), jnp.float32),
-            compiler_params=_params(),
-            interpret=_interpret(),
-        )(rr, ii, jnp.asarray(Wz[0]), jnp.asarray(Wz[1]),
-          jnp.asarray(Wy[0]), jnp.asarray(Wy[1]))
-
-    # shared plain x-pass for the y and z components
-    sr, si = xpass(r, i, wx)
-    fy = zypass(sr, si, wz, wy_g)
-    fz = zypass(sr, si, wz_g, wy)
-    # the x component needs its own folded x-pass
-    gr, gi = xpass(r, i, wx_g)
-    fx = zypass(gr, gi, wz, wy)
-    return fx, fy, fz
 
 
 # --- hermitian-half variants -------------------------------------------
@@ -565,6 +390,9 @@ def fft3_real_inverse_grad3_half(r, i, n2, kvecs, precision=None):
 def _ct_factor(n):
     """(R, M) split: largest radix in {8, 4, 2} keeping M a multiple
     of 128 (full MXU contraction).  (1, n) means stay dense."""
+    t = TUNE.get('radix:%d' % n)
+    if t and n % t == 0 and (n // t) % 128 == 0:
+        return int(t), n // int(t)
     for R in (8, 4, 2):
         if n % R == 0 and (n // R) % 128 == 0:
             return R, n // R
@@ -710,188 +538,136 @@ def _ct_inv_apply(xr, xi, wr, wi, n, prec, real_out=False):
 
 # --- CT kernels (hermitian-half pipeline, x/y axes factored) -------------
 
-def _zy_forward_real_h_ct(BX, N1, N2, Zh, prec=None):
-    """pass 1 with the y axis Cooley-Tukey factored: dense half-rfft
-    z matmuls, then per-plane CT-y (output y-permuted)."""
-    def kernel(x_ref, wzr, wzi, wyr, wyi, or_ref, oi_ref):
-        p = x_ref[...].reshape(BX * N1, N2)
-        zr = _mm(p, wzr[...], prec).reshape(BX, N1, Zh)
-        zi = _mm(p, wzi[...], prec).reshape(BX, N1, Zh)
-        for b in range(BX):
-            yr, yi = _ct_fwd_apply(zr[b], zi[b], wyr, wyi, N1, prec)
-            or_ref[b] = yr
-            oi_ref[b] = yi
-    return kernel
+def _x_transform_ct_multi(N0, BY, BZ, scale, prec=None, inverse=False,
+                          dual=False, with_k2=False):
+    """x-axis CT kernel, generalized:
 
-
-def _x_transform_ct(N0, BY, BZ, scale, prec=None, inverse=False):
-    """x-axis CT transform of (N0, BY, BZ) blocks: forward consumes
-    natural order and emits x-permuted; inverse the opposite."""
-    flat = (BZ % 128 == 0)
-
-    def one(br, bi, wxr, wxi):
-        if inverse:
-            rr, ii = _ct_inv_apply(br, bi, wxr, wxi, N0, prec)
-        else:
-            rr, ii = _ct_fwd_apply(br, bi, wxr, wxi, N0, prec)
-        return rr * scale, ii * scale
-
-    def kernel(xr_ref, xi_ref, wxr, wxi, or_ref, oi_ref):
-        if flat:
-            br = xr_ref[...].reshape(N0, BY * BZ)
-            bi = xi_ref[...].reshape(N0, BY * BZ)
-            rr, ii = one(br, bi, wxr, wxi)
-            or_ref[...] = rr.reshape(N0, BY, BZ)
-            oi_ref[...] = ii.reshape(N0, BY, BZ)
-            return
-        for b in range(BY):
-            rr, ii = one(xr_ref[:, b, :], xi_ref[:, b, :], wxr, wxi)
-            or_ref[:, b, :] = rr
-            oi_ref[:, b, :] = ii
-    return kernel
-
-
-def _zy_inverse_to_real_h_ct(BX, N1, n2, Zh, prec=None):
-    """inverse pass: CT-y inverse (input y-permuted) then dense
-    irfft-as-matmul along z."""
-    def kernel(xr_ref, xi_ref, wyr, wyi, A, B, o_ref):
-        for b in range(BX):
-            yr, yi = _ct_inv_apply(xr_ref[b], xi_ref[b], wyr, wyi,
-                                   N1, prec)
-            o_ref[b] = _mm(yr, A[...], prec) + _mm(yi, B[...], prec)
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=('norm', 'precision'))
-def fft3_real_forward_half_ct(x, norm=True, precision=None):
-    """hermitian-half forward FFT with CT-factored x and y axes.
-
-    Returns (r, i) of shape (N0, N1, Zh) with the x and y axes in the
-    CHUNK-PERMUTED order (see _ct_permute): slot j*M+q holds mode
-    j+R*q.  Pair with fft3_real_inverse_grad3_half_ct and permute any
-    per-axis spectral tables with _ct_permute.
+    - ``dual``: apply TWO weight sets (the plain and the kx-folded
+      inverse of the force triple) to one input read — halves the
+      dominant-stage HBM traffic of the spectral triple.
+    - ``with_k2``: fold the 1/k^2 Poisson filter into the input in
+      VMEM from three 1-d tables (storage-permuted x/y, natural z) —
+      removes the separate XLA elementwise pass over the spectrum.
     """
-    N0, N1, N2 = x.shape
-    Zh = N2 // 2 + 1
-    Rx, Mx = _ct_factor(N0)
-    Ry, My = _ct_factor(N1)
-    if Rx == 1 or Ry == 1:
-        raise ValueError("CT needs Nmesh[0] and Nmesh[1] to factor "
-                         "as R*128k (got %d, %d); use the dense "
-                         "fft3_real_forward_half" % (N0, N1))
-    wzr, wzi = (jnp.asarray(a) for a in _dft_half_np(N2, Zh))
-    wy = _ct_fwd_mats_np(N1)
-    wx = _ct_fwd_mats_np(N0)
-    prec = _resolve_prec(precision)
+    flat = TUNE.get('xct_flat')
+    if flat is None:
+        flat = (BZ % 128 == 0)
 
-    BX = _pick_bx(N0, N1, Zh)
-    pr, pi = pl.pallas_call(
-        _zy_forward_real_h_ct(BX, N1, N2, Zh, prec),
-        grid=(N0 // BX,),
-        in_specs=[_xplane_spec(N1, N2, BX),
-                  _full_spec((N2, Zh)), _full_spec((N2, Zh)),
-                  _full_spec((Ry, My, My)), _full_spec((Ry, My, My))],
-        out_specs=(_xplane_spec(N1, Zh, BX), _xplane_spec(N1, Zh, BX)),
-        out_shape=(jax.ShapeDtypeStruct((N0, N1, Zh), jnp.float32),
-                   jax.ShapeDtypeStruct((N0, N1, Zh), jnp.float32)),
+    def kernel(*refs):
+        p = 0
+        xr_ref, xi_ref = refs[p], refs[p + 1]
+        p += 2
+        wsets = [(refs[p], refs[p + 1])]
+        p += 2
+        if dual:
+            wsets.append((refs[p], refs[p + 1]))
+            p += 2
+        if with_k2:
+            k2x, k2y, k2z = refs[p], refs[p + 1], refs[p + 2]
+            p += 3
+        orefs = refs[p:]
+
+        xr = xr_ref[...]
+        xi = xi_ref[...]
+        if with_k2:
+            k2 = (k2x[...].reshape(N0, 1, 1)
+                  + k2y[...].reshape(1, BY, 1)
+                  + k2z[...].reshape(1, 1, BZ))
+            invk2 = jnp.where(k2 > 0.0,
+                              1.0 / jnp.where(k2 > 0.0, k2, 1.0), 0.0)
+            xr = xr * invk2
+            xi = xi * invk2
+
+        def one(br, bi, wr, wi):
+            if inverse:
+                rr, ii = _ct_inv_apply(br, bi, wr, wi, N0, prec)
+            else:
+                rr, ii = _ct_fwd_apply(br, bi, wr, wi, N0, prec)
+            return rr * scale, ii * scale
+
+        for s, (wr, wi) in enumerate(wsets):
+            if flat:
+                rr, ii = one(xr.reshape(N0, BY * BZ),
+                             xi.reshape(N0, BY * BZ), wr, wi)
+                orefs[2 * s][...] = rr.reshape(N0, BY, BZ)
+                orefs[2 * s + 1][...] = ii.reshape(N0, BY, BZ)
+            else:
+                for b in range(BY):
+                    rr, ii = one(xr[:, b, :], xi[:, b, :], wr, wi)
+                    orefs[2 * s][:, b, :] = rr
+                    orefs[2 * s + 1][:, b, :] = ii
+    return kernel
+
+
+def _xct_call_multi(pr, pi, wx, scale, prec, inverse=False, wx2=None,
+                    k2=None):
+    """CT x-axis transform of an (N0, n1, W) block with optional dual
+    weights and in-VMEM 1/k^2 folding (see _x_transform_ct_multi).
+
+    k2 : None or (k2x_perm, k2y_local, k2z) 1-d f32 tables; k2y_local
+        must cover exactly the n1 rows of this block (the caller
+        shards it alongside the spectrum).
+    Returns (r, i) or (r, i, r2, i2).
+    """
+    N0, n1, W = pr.shape
+    Rx, Mx = _ct_factor(N0)
+    BY = int(TUNE.get('xct_by', 8))
+    BY = BY if n1 % BY == 0 else (8 if n1 % 8 == 0 else n1)
+    BZ = W
+    cap = int(TUNE.get('xct_ref_bytes', 4 * 1024 * 1024))
+    while BZ % 2 == 0 and BZ // 2 % 128 == 0 \
+            and N0 * BY * BZ * 4 > cap:
+        BZ //= 2
+    dual = wx2 is not None
+    with_k2 = k2 is not None
+
+    if BZ == W:
+        def yspec():
+            return pl.BlockSpec((N0, BY, W), lambda t: (0, t, 0),
+                                memory_space=pltpu.VMEM)
+        grid = (n1 // BY,)
+        mat_spec = _full_spec((Rx, Mx, Mx))
+        k2x_spec = _full_spec((N0, 1))
+        k2y_spec = pl.BlockSpec((BY, 1), lambda t: (t, 0),
+                                memory_space=pltpu.VMEM)
+        k2z_spec = _full_spec((1, W))
+    else:
+        def yspec():
+            return pl.BlockSpec((N0, BY, BZ),
+                                lambda t, z: (0, t, z),
+                                memory_space=pltpu.VMEM)
+        grid = (n1 // BY, W // BZ)
+        mat_spec = _full_spec2((Rx, Mx, Mx))
+        k2x_spec = _full_spec2((N0, 1))
+        k2y_spec = pl.BlockSpec((BY, 1), lambda t, z: (t, 0),
+                                memory_space=pltpu.VMEM)
+        k2z_spec = pl.BlockSpec((1, BZ), lambda t, z: (0, z),
+                                memory_space=pltpu.VMEM)
+
+    in_specs = [yspec(), yspec(), mat_spec, mat_spec]
+    args = [pr, pi, jnp.asarray(wx[0]), jnp.asarray(wx[1])]
+    if dual:
+        in_specs += [mat_spec, mat_spec]
+        args += [jnp.asarray(wx2[0]), jnp.asarray(wx2[1])]
+    if with_k2:
+        in_specs += [k2x_spec, k2y_spec, k2z_spec]
+        args += [jnp.asarray(k2[0]).reshape(N0, 1),
+                 jnp.asarray(k2[1]).reshape(n1, 1),
+                 jnp.asarray(k2[2]).reshape(1, W)]
+    nout = 4 if dual else 2
+    out = pl.pallas_call(
+        _x_transform_ct_multi(N0, BY, BZ, np.float32(scale), prec,
+                              inverse=inverse, dual=dual,
+                              with_k2=with_k2),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(yspec(),) * nout,
+        out_shape=(jax.ShapeDtypeStruct((N0, n1, W),
+                                        jnp.float32),) * nout,
         compiler_params=_params(),
         interpret=_interpret(),
-    )(x.astype(jnp.float32), wzr, wzi,
-      jnp.asarray(wy[0]), jnp.asarray(wy[1]))
-
-    scale = 1.0 / (N0 * N1 * N2) if norm else 1.0
-    BY = 8 if N1 % 8 == 0 else N1
-    rr, ii = pl.pallas_call(
-        _x_transform_ct(N0, BY, Zh, np.float32(scale), prec),
-        grid=(N1 // BY,),
-        in_specs=[
-            pl.BlockSpec((N0, BY, Zh), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N0, BY, Zh), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            _full_spec((Rx, Mx, Mx)), _full_spec((Rx, Mx, Mx))],
-        out_specs=(
-            pl.BlockSpec((N0, BY, Zh), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N0, BY, Zh), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((N0, N1, Zh), jnp.float32),
-                   jax.ShapeDtypeStruct((N0, N1, Zh), jnp.float32)),
-        compiler_params=_params(),
-        interpret=_interpret(),
-    )(pr, pi, jnp.asarray(wx[0]), jnp.asarray(wx[1]))
-    return rr, ii
-
-
-@functools.partial(jax.jit, static_argnames=('n2', 'kvecs',
-                                             'precision'))
-def fft3_real_inverse_grad3_half_ct(r, i, n2, kvecs, precision=None):
-    """CT spectral force triple: inverse of
-    :func:`fft3_real_forward_half_ct` with i*k_d folded into the
-    per-chunk inverse matrices.  ``kvecs`` are NATURAL-order (the
-    permutation is applied here); same Nyquist-zero requirement as
-    the dense variant."""
-    N0, N1, Zh = r.shape
-    for d, n in ((0, N0), (1, N1)):
-        if n % 2 == 0 and abs(kvecs[d][n // 2]) > 1e-12:
-            raise ValueError(
-                "kvecs[%d] must vanish at the Nyquist index for the "
-                "half-spectrum gradient" % d)
-    prec = _resolve_prec(precision)
-    Rx, Mx = _ct_factor(N0)
-    Ry, My = _ct_factor(N1)
-    wy = _ct_inv_mats_np(N1)
-    wx = _ct_inv_mats_np(N0)
-    wx_g = _ct_inv_mats_np(N0, fold_kvec=kvecs[0])
-    wy_g = _ct_inv_mats_np(N1, fold_kvec=kvecs[1])
-    A_p, B_p = _irfft_mats_np(n2, Zh)
-    A_g, B_g = _irfft_mats_np(n2, Zh, grad_kvec=kvecs[2])
-
-    BY = 8 if N1 % 8 == 0 else N1
-    BX = _pick_bx(N0, N1, Zh)
-
-    def yspec():
-        return pl.BlockSpec((N0, BY, Zh), lambda t: (0, t, 0),
-                            memory_space=pltpu.VMEM)
-
-    def xpass(rr, ii, W):
-        return pl.pallas_call(
-            _x_transform_ct(N0, BY, Zh, np.float32(1.0), prec,
-                            inverse=True),
-            grid=(N1 // BY,),
-            in_specs=[yspec(), yspec(),
-                      _full_spec((Rx, Mx, Mx)),
-                      _full_spec((Rx, Mx, Mx))],
-            out_specs=(yspec(), yspec()),
-            out_shape=(jax.ShapeDtypeStruct((N0, N1, Zh), jnp.float32),
-                       jax.ShapeDtypeStruct((N0, N1, Zh), jnp.float32)),
-            compiler_params=_params(),
-            interpret=_interpret(),
-        )(rr, ii, jnp.asarray(W[0]), jnp.asarray(W[1]))
-
-    def zypass(rr, ii, Wy, AB):
-        return pl.pallas_call(
-            _zy_inverse_to_real_h_ct(BX, N1, n2, Zh, prec),
-            grid=(N0 // BX,),
-            in_specs=[_xplane_spec(N1, Zh, BX),
-                      _xplane_spec(N1, Zh, BX),
-                      _full_spec((Ry, My, My)),
-                      _full_spec((Ry, My, My)),
-                      _full_spec((Zh, n2)), _full_spec((Zh, n2))],
-            out_specs=_xplane_spec(N1, n2, BX),
-            out_shape=jax.ShapeDtypeStruct((N0, N1, n2), jnp.float32),
-            compiler_params=_params(),
-            interpret=_interpret(),
-        )(rr, ii, jnp.asarray(Wy[0]), jnp.asarray(Wy[1]),
-          jnp.asarray(AB[0]), jnp.asarray(AB[1]))
-
-    # shared plain x-pass for the y and z gradient components
-    sr, si = xpass(r, i, wx)
-    fy = zypass(sr, si, wy_g, (A_p, B_p))
-    fz = zypass(sr, si, wy, (A_g, B_g))
-    gr, gi = xpass(r, i, wx_g)
-    fx = zypass(gr, gi, wy, (A_p, B_p))
-    return fx, fy, fz
+    )(*args)
+    return out
 
 
 # --- split-Nyquist CT pipeline --------------------------------------------
@@ -976,7 +752,7 @@ def _zy_fwd_ct2_call(x, N2, Zm, wz, wy, prec):
     its block tiling is always legal; it is squeezed here."""
     n0, N1, _ = x.shape
     Ry, My = _ct_factor(N1)
-    BX = _pick_bx(n0, N1, Zm)
+    BX = _pick_bx(n0, N1, Zm, tag='zyf')
     pr, pi, nq = pl.pallas_call(
         _zy_forward_real_h_ct2(BX, N1, N2, Zm, prec),
         grid=(n0 // BX,),
@@ -997,47 +773,10 @@ def _zy_fwd_ct2_call(x, N2, Zm, wz, wy, prec):
 
 
 def _xct_call(pr, pi, wx, scale, prec, inverse=False):
-    """CT x-axis transform of an (N0, n1, W) block.
-
-    Tiles the trailing axis when the (N0, BY, W) block would blow the
-    VMEM pipeline budget (large N0 slab shapes: a (1024, 8, 512)
-    block is 16 MB and 4 of them double-buffered exceed the chip)."""
-    N0, n1, W = pr.shape
-    Rx, Mx = _ct_factor(N0)
-    BY = 8 if n1 % 8 == 0 else n1
-    BZ = W
-    # keep each pipelined ref at <= ~4 MB (the in-kernel CT temps
-    # scale with the block; 8 MB blocks measured 113 MB of scoped
-    # vmem at (1024, 128, 512))
-    while BZ % 2 == 0 and BZ // 2 % 128 == 0 \
-            and N0 * BY * BZ * 4 > 4 * 1024 * 1024:
-        BZ //= 2
-
-    if BZ == W:
-        def yspec():
-            return pl.BlockSpec((N0, BY, W), lambda t: (0, t, 0),
-                                memory_space=pltpu.VMEM)
-        grid = (n1 // BY,)
-        mat_spec = _full_spec((Rx, Mx, Mx))
-    else:
-        def yspec():
-            return pl.BlockSpec((N0, BY, BZ),
-                                lambda t, z: (0, t, z),
-                                memory_space=pltpu.VMEM)
-        grid = (n1 // BY, W // BZ)
-        mat_spec = _full_spec2((Rx, Mx, Mx))
-
-    return pl.pallas_call(
-        _x_transform_ct(N0, BY, BZ, np.float32(scale), prec,
-                        inverse=inverse),
-        grid=grid,
-        in_specs=[yspec(), yspec(), mat_spec, mat_spec],
-        out_specs=(yspec(), yspec()),
-        out_shape=(jax.ShapeDtypeStruct((N0, n1, W), jnp.float32),
-                   jax.ShapeDtypeStruct((N0, n1, W), jnp.float32)),
-        compiler_params=_params(),
-        interpret=_interpret(),
-    )(pr, pi, jnp.asarray(wx[0]), jnp.asarray(wx[1]))
+    """CT x-axis transform of an (N0, n1, W) block — the single-set,
+    no-filter form of :func:`_xct_call_multi` (kept as the simple
+    entry point for tools and the forward pass)."""
+    return _xct_call_multi(pr, pi, wx, scale, prec, inverse=inverse)
 
 
 def _zy_inv_ct2_call(rr, ii, Wy, AB, n2, prec, plane=None):
@@ -1045,7 +784,7 @@ def _zy_inv_ct2_call(rr, ii, Wy, AB, n2, prec, plane=None):
     the xy-inverted Nyquist plane with (-1)^n weights."""
     n0, N1, Zm = rr.shape
     Ry, My = _ct_factor(N1)
-    BX = _pick_bx(n0, N1, Zm)
+    BX = _pick_bx(n0, N1, Zm, tag='zyi')
     with_plane = plane is not None
     in_specs = [_xplane_spec(N1, Zm, BX), _xplane_spec(N1, Zm, BX),
                 _full_spec((Ry, My, My)), _full_spec((Ry, My, My)),
@@ -1095,12 +834,18 @@ def fft3_real_forward_half_ct2(x, norm=True, precision=None):
 
 
 @functools.partial(jax.jit, static_argnames=('n2', 'kvecs',
-                                             'precision'))
+                                             'precision', 'poisson_k2'))
 def fft3_real_inverse_grad3_half_ct2(r, i, nqr, nqi, n2, kvecs,
-                                     precision=None):
+                                     precision=None, poisson_k2=None):
     """split-Nyquist CT spectral force triple (see the dense variant
     for the math).  The z-gradient's Nyquist contribution vanishes
-    (kvecs[2] is Nyquist-zero), so only fx/fy carry the plane."""
+    (kvecs[2] is Nyquist-zero), so only fx/fy carry the plane.
+
+    poisson_k2 : None or a static tuple of 3 NATURAL-order k^2 tables
+        (len N0, N1, Zm+1).  When given, (r, i, nqr, nqi) are the RAW
+        forward spectrum and the 1/k^2 Poisson filter is folded into
+        the x-pass kernel (in-VMEM, from the 1-d tables) — no separate
+        elementwise pass over the spectrum."""
     N0, N1, Zm = r.shape
     for d, n in ((0, N0), (1, N1)):
         if n % 2 == 0 and abs(kvecs[d][n // 2]) > 1e-12:
@@ -1122,6 +867,20 @@ def fft3_real_inverse_grad3_half_ct2(r, i, nqr, nqi, n2, kvecs,
     # vanishes at Nyquist): i*k ⊙ plane, inverse 2-d, real part
     kx = np.asarray(kvecs[0], np.float32)
     ky = np.asarray(kvecs[1], np.float32)
+    k2m = None
+    if poisson_k2 is not None:
+        # the (N0, N1) Nyquist plane is 1/Zm of the volume — filter it
+        # here; the main spectrum's filter folds into the x kernel
+        k2p = (np.asarray(poisson_k2[0], np.float32)[:, None]
+               + np.asarray(poisson_k2[1], np.float32)[None, :]
+               + np.float32(poisson_k2[2][Zm]))
+        invk2p = jnp.asarray(np.where(k2p > 0, 1.0 / np.where(
+            k2p > 0, k2p, 1.0), 0.0))
+        nqr = nqr * invk2p
+        nqi = nqi * invk2p
+        k2m = (_ct_table(N0, poisson_k2[0]).astype(np.float32),
+               _ct_table(N1, poisson_k2[1]).astype(np.float32),
+               np.asarray(poisson_k2[2][:Zm], np.float32))
     px_r = -nqi * kx[:, None]
     px_i = nqr * kx[:, None]
     py_r = -nqi * ky[None, :]
@@ -1129,11 +888,18 @@ def fft3_real_inverse_grad3_half_ct2(r, i, nqr, nqi, n2, kvecs,
     plane_x = _plane_fft2(px_r, px_i, N0, N1, +1, prec)[0]
     plane_y = _plane_fft2(py_r, py_i, N0, N1, +1, prec)[0]
 
-    sr, si = _xct_call(r, i, wx, 1.0, prec, inverse=True)
+    if TUNE.get('xct_dual', True):
+        sr, si, gr, gi = _xct_call_multi(r, i, wx, 1.0, prec,
+                                         inverse=True, wx2=wx_g,
+                                         k2=k2m)
+    else:
+        sr, si = _xct_call_multi(r, i, wx, 1.0, prec, inverse=True,
+                                 k2=k2m)
+        gr, gi = _xct_call_multi(r, i, wx_g, 1.0, prec, inverse=True,
+                                 k2=k2m)
     fy = _zy_inv_ct2_call(sr, si, wy_g, (A_p, B_p), n2, prec,
                           plane=plane_y)
     fz = _zy_inv_ct2_call(sr, si, wy, (A_g, B_g), n2, prec)
-    gr, gi = _xct_call(r, i, wx_g, 1.0, prec, inverse=True)
     fx = _zy_inv_ct2_call(gr, gi, wy, (A_p, B_p), n2, prec,
                           plane=plane_x)
     return fx, fy, fz
@@ -1194,14 +960,20 @@ def fft3_real_forward_half_ct2_sharded(procmesh, x, norm=True,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    'procmesh', 'n2', 'kvecs', 'precision'))
+    'procmesh', 'n2', 'kvecs', 'precision', 'poisson_k2'))
 def fft3_real_inverse_grad3_half_ct2_sharded(procmesh, r, i, nqr,
                                              nqi, n2, kvecs,
-                                             precision=None):
+                                             precision=None,
+                                             poisson_k2=None):
     """pencil-sharded ct2 spectral force triple: CT x-inverses local
-    on the transposed layout (the y/z components share one), a2a
-    back, ct2 zy-inverse local per slab with the Nyquist planes
-    sliced per slab.  Force meshes return P(ax, None, None)."""
+    on the transposed layout (the plain and kx-folded passes share
+    one input read — the dual kernel), a2a back, ct2 zy-inverse local
+    per slab with the Nyquist planes sliced per slab.  Force meshes
+    return P(ax, None, None).
+
+    poisson_k2: as in :func:`fft3_real_inverse_grad3_half_ct2` —
+    folds 1/k^2 into the x kernel (the y table rides sharded through
+    shard_map so each device filters its own permuted-y chunk)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
     N0, N1, Zm = r.shape
@@ -1223,33 +995,56 @@ def fft3_real_inverse_grad3_half_ct2_sharded(procmesh, r, i, nqr,
 
     kx = np.asarray(kvecs[0], np.float32)
     ky = np.asarray(kvecs[1], np.float32)
+    k2m = None
+    if poisson_k2 is not None:
+        k2p = (np.asarray(poisson_k2[0], np.float32)[:, None]
+               + np.asarray(poisson_k2[1], np.float32)[None, :]
+               + np.float32(poisson_k2[2][Zm]))
+        invk2p = jnp.asarray(np.where(k2p > 0, 1.0 / np.where(
+            k2p > 0, k2p, 1.0), 0.0))
+        nqr = nqr * invk2p
+        nqi = nqi * invk2p
+        k2m = (_ct_table(N0, poisson_k2[0]).astype(np.float32),
+               _ct_table(N1, poisson_k2[1]).astype(np.float32),
+               np.asarray(poisson_k2[2][:Zm], np.float32))
     plane_x = _plane_fft2(-nqi * kx[:, None], nqr * kx[:, None],
                           N0, N1, +1, prec)[0]
     plane_y = _plane_fft2(-nqi * ky[None, :], nqr * ky[None, :],
                           N0, N1, +1, prec)[0]
+    dual = bool(TUNE.get('xct_dual', True))
 
     def a2a_back(a):
         return jax.lax.all_to_all(a, ax, split_axis=0, concat_axis=1,
                                   tiled=True)
 
-    def local(rl, il, plx, ply):
-        sr, si = _xct_call(rl, il, wx, 1.0, prec, inverse=True)
+    def local(rl, il, plx, ply, k2y_l):
+        k2l = None if k2m is None else (k2m[0], k2y_l, k2m[2])
+        if dual:
+            sr, si, gr, gi = _xct_call_multi(rl, il, wx, 1.0, prec,
+                                             inverse=True, wx2=wx_g,
+                                             k2=k2l)
+        else:
+            sr, si = _xct_call_multi(rl, il, wx, 1.0, prec,
+                                     inverse=True, k2=k2l)
+            gr, gi = _xct_call_multi(rl, il, wx_g, 1.0, prec,
+                                     inverse=True, k2=k2l)
         sr, si = a2a_back(sr), a2a_back(si)
         fy = _zy_inv_ct2_call(sr, si, wy_g, (A_p, B_p), n2, prec,
                               plane=ply)
         fz = _zy_inv_ct2_call(sr, si, wy, (A_g, B_g), n2, prec)
-        gr, gi = _xct_call(rl, il, wx_g, 1.0, prec, inverse=True)
         gr, gi = a2a_back(gr), a2a_back(gi)
         fx = _zy_inv_ct2_call(gr, gi, wy, (A_p, B_p), n2, prec,
                               plane=plx)
         return fx, fy, fz
 
+    k2y_arr = (jnp.zeros((N1,), jnp.float32) if k2m is None
+               else jnp.asarray(k2m[1]))
     fn = shard_map(local, mesh=procmesh.mesh,
                    in_specs=(P(None, ax, None), P(None, ax, None),
-                             P(ax, None), P(ax, None)),
+                             P(ax, None), P(ax, None), P(ax)),
                    out_specs=(P(ax, None, None),) * 3,
                    check_vma=False)
-    return fn(r, i, plane_x, plane_y)
+    return fn(r, i, plane_x, plane_y, k2y_arr)
 
 
 # --- sharded (pencil) hermitian-half transforms --------------------------
@@ -1264,7 +1059,7 @@ def fft3_real_inverse_grad3_half_ct2_sharded(procmesh, r, i, nqr,
 def _zy_fwd_half_call(x, N2, Zh, wzr, wzi, wyr, wyi, prec):
     """pass 1 on an (n0, N1, N2) block -> half-spectrum (r, i)."""
     n0, N1, _ = x.shape
-    BX = _pick_bx(n0, N1, Zh)
+    BX = _pick_bx(n0, N1, Zh, tag='zyf')
     return pl.pallas_call(
         _zy_forward_real_h(BX, N1, N2, Zh, prec),
         grid=(n0 // BX,),
@@ -1300,7 +1095,7 @@ def _xpass_half_call(pr, pi, wxr, wxi, scale, prec):
 def _zy_inv_half_call(rr, ii, wy, AB, n2, prec):
     """inverse y transform + irfft-as-matmul z on (n0, N1, Zh)."""
     n0, N1, Zh = rr.shape
-    BX = _pick_bx(n0, N1, Zh)
+    BX = _pick_bx(n0, N1, Zh, tag='zyi')
     return pl.pallas_call(
         _zy_inverse_to_real_h(BX, N1, n2, Zh, prec),
         grid=(n0 // BX,),

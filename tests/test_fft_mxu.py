@@ -6,11 +6,12 @@ import jax
 import jax.numpy as jnp
 
 from pmesh_tpu.ops import fft_mxu
+from pmesh_tpu.ops import fft_mxu_ref
 
 
 def test_forward_matches_numpy():
     x = np.random.RandomState(0).normal(size=(8, 16, 128)).astype('f4')
-    r, i = fft_mxu.fft3_real_forward(jnp.asarray(x))
+    r, i = fft_mxu_ref.fft3_real_forward(jnp.asarray(x))
     truth = np.fft.fftn(x) / x.size
     err = np.abs(np.asarray(r) + 1j * np.asarray(i) - truth).max()
     assert err / np.abs(truth).max() < 1e-5
@@ -18,19 +19,19 @@ def test_forward_matches_numpy():
 
 def test_roundtrip():
     x = np.random.RandomState(1).normal(size=(16, 8, 128)).astype('f4')
-    r, i = fft_mxu.fft3_real_forward(jnp.asarray(x))
-    back = fft_mxu.fft3_real_inverse(r, i)
+    r, i = fft_mxu_ref.fft3_real_forward(jnp.asarray(x))
+    back = fft_mxu_ref.fft3_real_inverse(r, i)
     np.testing.assert_allclose(np.asarray(back), x, atol=2e-5)
 
 
 def test_grad_inverse():
     """inverse with the folded i*k_d kernel == ifft(i k_d * spec)."""
     x = np.random.RandomState(2).normal(size=(8, 8, 128)).astype('f4')
-    r, i = fft_mxu.fft3_real_forward(jnp.asarray(x))
+    r, i = fft_mxu_ref.fft3_real_forward(jnp.asarray(x))
     spec = np.fft.fftn(x) / x.size
     for d, n in [(0, 8), (1, 8), (2, 128)]:
         kd = (np.fft.fftfreq(n) * 2 * np.pi).astype('f4')
-        out = fft_mxu.fft3_real_inverse(r, i, grad=d,
+        out = fft_mxu_ref.fft3_real_inverse(r, i, grad=d,
                                         kvec=tuple(kd.tolist()))
         sh = [1, 1, 1]
         sh[d] = n
@@ -58,13 +59,13 @@ def test_force_lattice_mxu_matches_xla():
 
 def test_grad3_matches_separate():
     x = np.random.RandomState(4).normal(size=(8, 8, 128)).astype('f4')
-    r, i = fft_mxu.fft3_real_forward(jnp.asarray(x))
+    r, i = fft_mxu_ref.fft3_real_forward(jnp.asarray(x))
     kvecs = tuple(tuple((np.fft.fftfreq(n) * 2 * np.pi)
                         .astype('f4').tolist())
                   for n in (8, 8, 128))
-    fx, fy, fz = fft_mxu.fft3_real_inverse_grad3(r, i, kvecs=kvecs)
+    fx, fy, fz = fft_mxu_ref.fft3_real_inverse_grad3(r, i, kvecs=kvecs)
     for d, got in enumerate((fx, fy, fz)):
-        one = fft_mxu.fft3_real_inverse(r, i, grad=d, kvec=kvecs[d])
+        one = fft_mxu_ref.fft3_real_inverse(r, i, grad=d, kvec=kvecs[d])
         np.testing.assert_allclose(np.asarray(got), np.asarray(one),
                                    atol=1e-6)
 
@@ -97,7 +98,7 @@ def test_ct_forward_matches_rfftn():
     assert fm._ct_factor(N) == (2, 128)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.normal(size=(N, N, N)).astype('f4'))
-    r, i = fm.fft3_real_forward_half_ct(x)
+    r, i = fft_mxu_ref.fft3_real_forward_half_ct(x)
     p = fm._ct_permute(N)
     ref = np.fft.rfftn(np.asarray(x)) / N ** 3
     assert_allclose(np.asarray(r)[p][:, p], ref.real, atol=2e-6)
