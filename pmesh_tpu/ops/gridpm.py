@@ -59,6 +59,10 @@ GRID_LIMIT = 1728  # 12^3
 # correctness is pinned by test_impl_pallas_matches_xla)
 IMPL = 'auto'
 
+# sharded readout: fuse all meshes into one shard_map/kernel call
+# (shared halos + weights) instead of one call per mesh
+READOUT_FUSE_SHARDED = True
+
 
 def _use_pallas(impl=None):
     impl = IMPL if impl is None else impl
@@ -201,11 +205,18 @@ def _shift_loop(meshes, disp, mass, bounds, window, diffdir, mode,
 
 def _shift_sharded(_pk, meshes, disp, mass, vmin, vmax, kind, diffdir,
                    mode, procmesh):
-    """shard_map execution of the pallas shift-sum over x slabs."""
+    """shard_map execution of the pallas shift-sum over x slabs.
+
+    Halo traffic and HBM copies are minimal: each shard reads its own
+    slab IN PLACE through sliding BlockSpecs and only the O(nv)
+    boundary planes ride ``ppermute`` (parallel/halo.halo_planes) —
+    the old form concatenated a full extended copy of the state per
+    call and shipped whole slabs per halo hop (kept as the fallback
+    for windows deeper than one slab)."""
     import jax as _jax
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
-    from ..parallel.halo import extend_x
+    from ..parallel.halo import extend_x, halo_planes
 
     ax = procmesh.axis
     D = procmesh.size
@@ -217,6 +228,7 @@ def _shift_sharded(_pk, meshes, disp, mass, vmin, vmax, kind, diffdir,
     rows = N0 // D
     spec = P(ax, None, None)
     nvm = vmax - vmin
+    deep = max(max(0, vmax), max(0, -vmin)) > rows
 
     def ext_range(local, first, last):
         """local slab rows [start+first, start+last] inclusive."""
@@ -230,19 +242,26 @@ def _shift_sharded(_pk, meshes, disp, mass, vmin, vmax, kind, diffdir,
         m = jnp.asarray(1.0 if mass is None else mass,
                         dtype=disp[0].dtype)
         scalar_mass = (m.ndim == 0)
+        lo_n, hi_n = max(0, vmax), max(0, -vmin)
 
         def local(*args):
             dl = args[:3]
-            exts = tuple(ext_range(d, -vmax, rows - 1 - vmin)
-                         for d in dl)
-            if scalar_mass:
-                mext = 1.0
-            else:
-                mext = ext_range(args[3], -vmax, rows - 1 - vmin)
-            return _pk.paint_fused_ext(exts, mext, vmin, vmax, kind,
-                                       diffdir=diffdir,
-                                       scalar_mass=scalar_mass,
-                                       nrows=rows)
+            if deep:
+                exts = tuple(ext_range(d, -vmax, rows - 1 - vmin)
+                             for d in dl)
+                mext = 1.0 if scalar_mass else ext_range(
+                    args[3], -vmax, rows - 1 - vmin)
+                return _pk.paint_fused_ext(exts, mext, vmin, vmax,
+                                           kind, diffdir=diffdir,
+                                           scalar_mass=scalar_mass,
+                                           nrows=rows)
+            arrays = list(dl) + ([] if scalar_mass else [args[3]])
+            halos = tuple(halo_planes(a, lo_n, hi_n, ax, D)
+                          for a in arrays)
+            return _pk.paint_fused_parts(
+                dl, 1.0 if scalar_mass else args[3], vmin, vmax,
+                kind, diffdir=diffdir, scalar_mass=scalar_mass,
+                halos=halos)
 
         operands = tuple(disp) + (() if scalar_mass else (m,))
         fn = shard_map(local, mesh=procmesh.mesh,
@@ -253,16 +272,49 @@ def _shift_sharded(_pk, meshes, disp, mass, vmin, vmax, kind, diffdir,
             out = out * m
         return out
 
-    # readout: one sharded call per mesh (see gridpm_pallas note)
-    def local(mm, *dl):
-        mext = ext_range(mm, vmin, rows - 1 + vmax)
-        return _pk.readout_fused_ext((mext,), dl, vmin, vmax, kind,
-                                     diffdir=diffdir)[0]
+    # readout: ALL meshes in one sharded call — the halo exchange,
+    # displacement reads and window weights are shared across the
+    # force triple (the reference's 3 per-direction readouts re-walk
+    # the particles each time, pm.py:781-791; here the 3-mesh stencil
+    # is one fused pass).  READOUT_FUSE_SHARDED=False restores the
+    # per-mesh calls for A/B timing.
+    nmesh = len(meshes)
+    lo_n, hi_n = max(0, -vmin), max(0, vmax)
+
+    if not READOUT_FUSE_SHARDED:
+        def local1(mm, *dl):
+            if deep:
+                mext = ext_range(mm, vmin, rows - 1 + vmax)
+                return _pk.readout_fused_ext((mext,), dl, vmin, vmax,
+                                             kind,
+                                             diffdir=diffdir)[0]
+            halos = (halo_planes(mm, lo_n, hi_n, ax, D),)
+            return _pk.readout_fused_parts((mm,), dl, vmin, vmax,
+                                           kind, diffdir=diffdir,
+                                           halos=halos)[0]
+
+        fn = shard_map(local1, mesh=procmesh.mesh,
+                       in_specs=(spec,) * (1 + len(disp)),
+                       out_specs=spec, check_vma=False)
+        return tuple(fn(mm, *disp) for mm in meshes)
+
+    def local(*args):
+        ms = args[:nmesh]
+        dl = args[nmesh:]
+        if deep:
+            exts = tuple(ext_range(mm, vmin, rows - 1 + vmax)
+                         for mm in ms)
+            return _pk.readout_fused_ext(exts, dl, vmin, vmax, kind,
+                                         diffdir=diffdir)
+        halos = tuple(halo_planes(mm, lo_n, hi_n, ax, D)
+                      for mm in ms)
+        return _pk.readout_fused_parts(ms, dl, vmin, vmax, kind,
+                                       diffdir=diffdir, halos=halos)
 
     fn = shard_map(local, mesh=procmesh.mesh,
-                   in_specs=(spec,) * (1 + len(disp)),
-                   out_specs=spec, check_vma=False)
-    return tuple(fn(mm, *disp) for mm in meshes)
+                   in_specs=(spec,) * (nmesh + len(disp)),
+                   out_specs=(spec,) * nmesh, check_vma=False)
+    return tuple(fn(*(tuple(meshes) + tuple(disp))))
 
 
 # --- differentiable wrappers -------------------------------------------

@@ -8,15 +8,18 @@ program holds (N1, N2) planes in VMEM, evaluates the window weights
 there, and applies the y/z components of every shift as VMEM lane/
 sublane rotations (pltpu.roll — periodic wrap for free).
 
-The x-axis window is expressed through **extended** source arrays:
-``ext[i + dx]`` must hold the global plane ``i0 + i + off + dx`` for
-block offsets dx in [0, vmax - vmin] (one sliding BlockSpec per dx).
+The x-axis window is expressed through sliding BlockSpecs — one per
+block offset dx in [0, vmax - vmin].  Two forms:
 
-- single device: ext = wrap-extended roll of the full array (the
-  periodic boundary in x for free);
-- device mesh: ext = local slab + halo planes ppermuted from ring
-  neighbors (parallel/halo.py), called per-shard inside shard_map —
-  the kernels themselves are unchanged.
+- ``*_fused_ext``: the inputs are pre-**extended** arrays with
+  ``ext[i + dx]`` holding the global plane ``i0 + i + off + dx``
+  (simple, but materializes a full copy of the state per call);
+- ``*_fused_parts`` (the production form): the slab INTERIOR reads
+  the ORIGINAL arrays in place (index-offset sliding windows) and
+  only the O(nv) boundary rows run on a small concatenated window —
+  from the periodic wrap on one device, or from ring halo planes
+  (parallel/halo.halo_planes ships just those planes over ICI)
+  per-shard inside shard_map.
 
 Budget (v5e: ~16 MB VMEM, pipelined refs are double-buffered; a 512^2
 f32 plane is 1 MB):
@@ -45,7 +48,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .kernels import find_window
 
 __all__ = ["readout_fused", "paint_fused",
-           "readout_fused_ext", "paint_fused_ext"]
+           "readout_fused_ext", "paint_fused_ext",
+           "readout_fused_parts", "paint_fused_parts"]
 
 
 def _shift2(x, vy, vz):
@@ -70,6 +74,14 @@ def _shift2_dyn(x, vy, vz):
 
 # offset volumes above this use the fori_loop kernel form
 _UNROLL_LIMIT = 80
+
+
+def _cdtype(dtype):
+    """in-kernel COMPUTE dtype: sub-32-bit storage (bf16 state/meshes
+    — half the HBM traffic) is cast to f32 at the VMEM refs because
+    Mosaic cannot rotate non-32-bit vectors ("Rotate with non-32-bit
+    data") and f32 accumulation is wanted anyway."""
+    return jnp.float32 if np.dtype(dtype).itemsize < 4 else dtype
 
 
 def _axis_k(win, diff, v, s):
@@ -137,18 +149,28 @@ def _offset_chunks(vmin, vmax, refs_per_offset, fixed_refs,
 # --- readout ------------------------------------------------------------
 
 def readout_fused_ext(meshes_ext, disp, vmin, vmax, window,
-                      diffdir=None):
+                      diffdir=None, ngrid=None, disp_base=0,
+                      out_base=0, out_rows=None, mesh_base=0):
     """sum_v prod_d K(v_d - s_d(q)) * mesh[q + v] over local rows.
 
-    meshes_ext : tuple of (nrows + vmax - vmin, N1, N2) extended mesh
-        arrays — ext[i + dx] = global mesh plane (row i) + vmin + dx.
-    disp : 3 arrays of (nrows, N1, N2) displacements (aligned).
-    Returns one (nrows, N1, N2) array per mesh.
+    meshes_ext : tuple of (>= ngrid + vmax - vmin, N1, N2) mesh
+        arrays — ext[g + dx] = mesh plane at output row
+        (g + out_base) + vmin + dx for grid step g.
+    disp : 3 aligned displacement arrays; output row g + out_base
+        reads disp row g + disp_base.
+    ngrid / out_base / out_rows : grid length, first output row, and
+        total output rows — lets a caller run the INTERIOR of a local
+        slab directly on the unextended arrays (no-copy sliding
+        windows) and fill the few boundary rows with a second call.
+    Returns one (out_rows, N1, N2) array per mesh.
     """
     win = find_window(window)
     meshes_ext = tuple(meshes_ext)
     nmesh = len(meshes_ext)
-    nrows, N1, N2 = disp[0].shape
+    _, N1, N2 = disp[0].shape
+    nrows = disp[0].shape[0] if ngrid is None else ngrid
+    if out_rows is None:
+        out_rows = nrows
     dtype = disp[0].dtype
     plane_bytes = N1 * N2 * np.dtype(dtype).itemsize
 
@@ -159,22 +181,24 @@ def readout_fused_ext(meshes_ext, disp, vmin, vmax, window,
         nv = vmax - vmin + 1
         unroll = cnv * nv * nv <= _UNROLL_LIMIT
 
+        cdt = _cdtype(dtype)
+
         def kernel(sxr, syr, szr, *rest):
             mrefs = rest[:nmesh * cnv]
             orefs = rest[nmesh * cnv:]
-            sx = sxr[0]
-            sy = syr[0]
-            sz = szr[0]
-            accs = [jnp.zeros((N1, N2), dtype) for _ in range(nmesh)]
+            sx = sxr[0].astype(cdt)
+            sy = syr[0].astype(cdt)
+            sz = szr[0].astype(cdt)
+            accs = [jnp.zeros((N1, N2), cdt) for _ in range(nmesh)]
             if unroll:
-                ky = [_axis_k(win, diffdir == 1, vy, sy).astype(dtype)
+                ky = [_axis_k(win, diffdir == 1, vy, sy).astype(cdt)
                       for vy in range(vmin, vmax + 1)]
-                kz = [_axis_k(win, diffdir == 2, vz, sz).astype(dtype)
+                kz = [_axis_k(win, diffdir == 2, vz, sz).astype(cdt)
                       for vz in range(vmin, vmax + 1)]
                 for ivx, vx in enumerate(range(v0, v1 + 1)):
                     kx = _axis_k(win, diffdir == 0, vx,
-                                 sx).astype(dtype)
-                    planes = [mrefs[m * cnv + ivx][0]
+                                 sx).astype(cdt)
+                    planes = [mrefs[m * cnv + ivx][0].astype(cdt)
                               for m in range(nmesh)]
                     for ivy, vy in enumerate(range(vmin, vmax + 1)):
                         wxy = kx * ky[ivy]
@@ -185,22 +209,22 @@ def readout_fused_ext(meshes_ext, disp, vmin, vmax, window,
                                 accs[m] = accs[m] + w * _shift2(
                                     pys[m], 0, vz)
                 for m in range(nmesh):
-                    orefs[m][0] = accs[m]
+                    orefs[m][0] = accs[m].astype(dtype)
                 return
             # wide ranges: fori over (vy, vz) with dynamic rotates to
             # bound the register live set (full unrolling spills)
             for ivx, vx in enumerate(range(v0, v1 + 1)):
-                kx = _axis_k(win, diffdir == 0, vx, sx).astype(dtype)
-                planes = [mrefs[m * cnv + ivx][0]
+                kx = _axis_k(win, diffdir == 0, vx, sx).astype(cdt)
+                planes = [mrefs[m * cnv + ivx][0].astype(cdt)
                           for m in range(nmesh)]
 
                 def body(t, accs, kx=kx, planes=planes):
                     vy = vmin + t // nv
                     vz = vmin + t % nv
                     wxy = kx * _axis_k(win, diffdir == 1, vy,
-                                       sy).astype(dtype)
+                                       sy).astype(cdt)
                     w = wxy * _axis_k(win, diffdir == 2, vz,
-                                      sz).astype(dtype)
+                                      sz).astype(cdt)
                     return tuple(
                         a + w * _shift2_dyn(p, vy, vz)
                         for a, p in zip(accs, planes))
@@ -208,10 +232,10 @@ def readout_fused_ext(meshes_ext, disp, vmin, vmax, window,
                 accs = list(jax.lax.fori_loop(0, nv * nv, body,
                                               tuple(accs)))
             for m in range(nmesh):
-                orefs[m][0] = accs[m]
+                orefs[m][0] = accs[m].astype(dtype)
 
-        in_specs = ([_plane_spec(N1, N2)] * 3
-                    + [_plane_spec(N1, N2, base + dx)
+        in_specs = ([_plane_spec(N1, N2, disp_base)] * 3
+                    + [_plane_spec(N1, N2, base + dx + mesh_base)
                        for _ in range(nmesh) for dx in range(cnv)])
         margs = []
         for e in meshes_ext:
@@ -220,9 +244,9 @@ def readout_fused_ext(meshes_ext, disp, vmin, vmax, window,
             kernel,
             grid=(nrows,),
             in_specs=in_specs,
-            out_specs=tuple(_plane_spec(N1, N2)
+            out_specs=tuple(_plane_spec(N1, N2, out_base)
                             for _ in range(nmesh)),
-            out_shape=tuple(jax.ShapeDtypeStruct((nrows, N1, N2),
+            out_shape=tuple(jax.ShapeDtypeStruct((out_rows, N1, N2),
                                                  dtype)
                             for _ in range(nmesh)),
             compiler_params=_params(),
@@ -238,13 +262,133 @@ def readout_fused_ext(meshes_ext, disp, vmin, vmax, window,
     return outs
 
 
+def readout_fused_parts(meshes, disp, vmin, vmax, window,
+                        diffdir=None, halos=None):
+    """No-copy readout of local slabs: the INTERIOR output rows read
+    the ORIGINAL mesh arrays through sliding BlockSpecs (no extended
+    copy of the state), and the few boundary rows run on a small
+    O(nv)-plane window built from the wrap (halos=None) or from ring
+    halo planes (halos = per-mesh (lo, hi) arrays, lo covering mesh
+    planes [vmin, -1] and hi covering [nrows, nrows-1+vmax]).
+    """
+    meshes = tuple(jnp.asarray(m) for m in meshes)
+    disp = tuple(jnp.asarray(s) for s in disp)
+    nrows = disp[0].shape[0]
+    head = max(0, -vmin)
+    tail = max(0, vmax)
+    nin = nrows - head - tail
+    if nin <= 0 or head > nrows or tail > nrows:
+        # slabs thinner than the window: build the full ext (tiny)
+        if halos is None:
+            exts = tuple(_extend_rows(jnp.roll(m, -vmin, 0),
+                                      vmax - vmin) for m in meshes)
+        else:
+            exts = tuple(jnp.concatenate([lo, m, hi], 0)
+                         for m, (lo, hi) in zip(meshes, halos))
+        return readout_fused_ext(exts, disp, vmin, vmax, window,
+                                 diffdir=diffdir)
+    if halos is None:
+        halos = tuple((m[nrows + vmin:] if vmin < 0 else m[:0],
+                       m[:vmax] if vmax > 0 else m[:0])
+                      for m in meshes)
+    outs = readout_fused_ext(meshes, disp, vmin, vmax, window,
+                             diffdir=diffdir, ngrid=nin,
+                             disp_base=head, out_base=head,
+                             out_rows=nrows, mesh_base=head + vmin)
+    parts = []
+    if head > 0:
+        # output rows [0, head): mesh planes [vmin, head-1+vmax]
+        hexts = tuple(jnp.concatenate(
+            [lo, m[:head + vmax]], 0) for m, (lo, hi)
+            in zip(meshes, halos))
+        parts.append((0, head, readout_fused_ext(
+            hexts, disp, vmin, vmax, window, diffdir=diffdir,
+            ngrid=head, out_rows=head)))
+    if tail > 0:
+        # output rows [nrows-tail, nrows): planes from
+        # nrows - tail + vmin upward, ending in the hi halo
+        start = nrows - tail + vmin
+        texts = tuple(jnp.concatenate([m[start:], hi], 0)
+                      for m, (lo, hi) in zip(meshes, halos))
+        parts.append((nrows - tail, tail, readout_fused_ext(
+            texts, disp, vmin, vmax, window, diffdir=diffdir,
+            ngrid=tail, disp_base=nrows - tail, out_rows=tail)))
+    out = list(outs)
+    for s, n, po in parts:
+        out = [o.at[s:s + n].set(p) for o, p in zip(out, po)]
+    return tuple(out)
+
+
+def paint_fused_parts(disp, mass, vmin, vmax, window, diffdir=None,
+                      scalar_mass=True, halos=None):
+    """No-copy paint of a local slab (gather form): interior output
+    rows read the ORIGINAL source arrays; boundary rows use a small
+    window from the wrap or ring halos.
+
+    halos : None (periodic wrap) or per-array (lo, hi) with lo
+        covering source planes [-vmax, -1] and hi covering
+        [nrows, nrows-1-vmin] — arrays ordered (disp0, disp1, disp2
+        [, mass]).
+    """
+    disp = tuple(jnp.asarray(s) for s in disp)
+    arrays = list(disp)
+    if not scalar_mass:
+        arrays.append(jnp.asarray(mass))
+    nrows = arrays[0].shape[0]
+    head = max(0, vmax)
+    tail = max(0, -vmin)
+    nin = nrows - head - tail
+    if nin <= 0 or head > nrows or tail > nrows:
+        if halos is None:
+            exts = tuple(_extend_rows(jnp.roll(a, vmax, 0),
+                                      vmax - vmin) for a in arrays)
+        else:
+            exts = tuple(jnp.concatenate([lo, a, hi], 0)
+                         for a, (lo, hi) in zip(arrays, halos))
+        return paint_fused_ext(exts[:3],
+                               mass if scalar_mass else exts[3],
+                               vmin, vmax, window, diffdir=diffdir,
+                               scalar_mass=scalar_mass, nrows=nrows)
+    if halos is None:
+        halos = tuple((a[nrows - vmax:] if vmax > 0 else a[:0],
+                       a[:-vmin] if vmin < 0 else a[:0])
+                      for a in arrays)
+    out = paint_fused_ext(disp, mass if scalar_mass else arrays[3],
+                          vmin, vmax, window, diffdir=diffdir,
+                          scalar_mass=scalar_mass, nrows=nin,
+                          in_base=head - vmax, out_base=head,
+                          out_rows=nrows)
+    if head > 0:
+        # output rows [0, head): source planes [-vmax, head-1-vmin]
+        hexts = tuple(jnp.concatenate(
+            [lo, a[:max(0, head - vmin)]], 0)
+            for a, (lo, hi) in zip(arrays, halos))
+        ph = paint_fused_ext(hexts[:3],
+                             mass if scalar_mass else hexts[3],
+                             vmin, vmax, window, diffdir=diffdir,
+                             scalar_mass=scalar_mass, nrows=head,
+                             out_rows=head)
+        out = out.at[:head].set(ph)
+    if tail > 0:
+        start = nrows - tail - vmax
+        texts = tuple(jnp.concatenate([a[start:], hi], 0)
+                      for a, (lo, hi) in zip(arrays, halos))
+        pt = paint_fused_ext(texts[:3],
+                             mass if scalar_mass else texts[3],
+                             vmin, vmax, window, diffdir=diffdir,
+                             scalar_mass=scalar_mass, nrows=tail,
+                             out_rows=tail)
+        out = out.at[nrows - tail:].set(pt)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=(
     'vmin', 'vmax', 'window', 'diffdir'))
 def readout_fused(mesh, disp, vmin, vmax, window, diffdir=None):
-    """single-device full-array readout: the x wrap is a roll."""
-    ext = _extend_rows(jnp.roll(mesh, -vmin, 0), vmax - vmin)
-    return readout_fused_ext((ext,), tuple(disp), vmin, vmax, window,
-                             diffdir)[0]
+    """single-device full-array readout: no-copy interior + wrap
+    boundary windows (readout_fused_parts)."""
+    return readout_fused_parts((mesh,), tuple(disp), vmin, vmax,
+                               window, diffdir=diffdir)[0]
 
 
 # NOTE: batching several meshes into one kernel (nmesh > 1) measured
@@ -257,19 +401,27 @@ def readout_fused(mesh, disp, vmin, vmax, window, diffdir=None):
 # --- paint --------------------------------------------------------------
 
 def paint_fused_ext(disp_ext, mass_ext, vmin, vmax, window,
-                    diffdir=None, scalar_mass=True, nrows=None):
+                    diffdir=None, scalar_mass=True, nrows=None,
+                    in_base=0, out_base=0, out_rows=None):
     """sum_v roll(prod_d K(v_d - s_d) * mass, v) over local rows.
 
     Gather form: output plane p pulls from source planes p - vx for
     vx in [vmin, vmax].  ``disp_ext`` (and ``mass_ext`` when not
-    scalar) are extended arrays with ext[i + j] = global source plane
-    (row i) - vmax + j, j in [0, vmax - vmin].
+    scalar) are extended arrays with ext[i + in_base + j] = source
+    plane for output row (i + out_base), offset j - vmax + vmin...
+    i.e. with the defaults, ext[i + j] = global source plane (row i)
+    - vmax + j, j in [0, vmax - vmin].  ``in_base``/``out_base``/
+    ``out_rows`` let a caller run the slab INTERIOR directly on the
+    unextended arrays (no-copy) and patch the boundary rows with a
+    second small call.
     """
     win = find_window(window)
     disp_ext = tuple(disp_ext)
     nvm = vmax - vmin
     if nrows is None:
         nrows = disp_ext[0].shape[0] - nvm
+    if out_rows is None:
+        out_rows = nrows
     _, N1, N2 = disp_ext[0].shape
     dtype = disp_ext[0].dtype
     narr = 3 + (0 if scalar_mass else 1)
@@ -287,24 +439,26 @@ def paint_fused_ext(disp_ext, mass_ext, vmin, vmax, window,
         nv = vmax - vmin + 1
         unroll = cnv * nv * nv <= _UNROLL_LIMIT
 
+        cdt = _cdtype(dtype)
+
         def kernel(*refs):
             orefs = refs[-1]
-            acc = jnp.zeros((N1, N2), dtype)
+            acc = jnp.zeros((N1, N2), cdt)
             for vx in range(v0, v1 + 1):
                 slot = v1 - vx
-                sx = refs[slot][0]
-                sy = refs[cnv + slot][0]
-                sz = refs[2 * cnv + slot][0]
-                kx = _axis_k(win, diffdir == 0, vx, sx).astype(dtype)
+                sx = refs[slot][0].astype(cdt)
+                sy = refs[cnv + slot][0].astype(cdt)
+                sz = refs[2 * cnv + slot][0].astype(cdt)
+                kx = _axis_k(win, diffdir == 0, vx, sx).astype(cdt)
                 if not scalar_mass:
-                    kx = kx * refs[3 * cnv + slot][0]
+                    kx = kx * refs[3 * cnv + slot][0].astype(cdt)
                 if unroll:
                     for vy in range(vmin, vmax + 1):
                         wxy = kx * _axis_k(win, diffdir == 1, vy,
-                                           sy).astype(dtype)
+                                           sy).astype(cdt)
                         for vz in range(vmin, vmax + 1):
                             c = wxy * _axis_k(win, diffdir == 2, vz,
-                                              sz).astype(dtype)
+                                              sz).astype(cdt)
                             # placed at p = q + v: result[p] = c[p-v]
                             acc = acc + _shift2(c, -vy, -vz)
                     continue
@@ -315,15 +469,15 @@ def paint_fused_ext(disp_ext, mass_ext, vmin, vmax, window,
                     vy = vmin + t // nv
                     vz = vmin + t % nv
                     wxy = kx * _axis_k(win, diffdir == 1, vy,
-                                       sy).astype(dtype)
+                                       sy).astype(cdt)
                     c = wxy * _axis_k(win, diffdir == 2, vz,
-                                      sz).astype(dtype)
+                                      sz).astype(cdt)
                     return acc + _shift2_dyn(c, -vy, -vz)
 
                 acc = jax.lax.fori_loop(0, nv * nv, body, acc)
-            orefs[0] = acc
+            orefs[0] = acc.astype(dtype)
 
-        in_specs = [_plane_spec(N1, N2, base + dx)
+        in_specs = [_plane_spec(N1, N2, base + dx + in_base)
                     for _ in range(narr) for dx in range(cnv)]
         args = []
         for a in arrays:
@@ -332,8 +486,8 @@ def paint_fused_ext(disp_ext, mass_ext, vmin, vmax, window,
             kernel,
             grid=(nrows,),
             in_specs=in_specs,
-            out_specs=_plane_spec(N1, N2),
-            out_shape=jax.ShapeDtypeStruct((nrows, N1, N2), dtype),
+            out_specs=_plane_spec(N1, N2, out_base),
+            out_shape=jax.ShapeDtypeStruct((out_rows, N1, N2), dtype),
             compiler_params=_params(),
             interpret=_interpret(),
         )(*args)
@@ -351,14 +505,8 @@ def paint_fused_ext(disp_ext, mass_ext, vmin, vmax, window,
     'vmin', 'vmax', 'window', 'diffdir', 'scalar_mass'))
 def paint_fused(disp, mass, vmin, vmax, window, diffdir=None,
                 scalar_mass=True):
-    """single-device full-array lattice paint (x wrap via roll)."""
-    nvm = vmax - vmin
-
-    def ext(a):
-        return _extend_rows(jnp.roll(a, vmax, 0), nvm)
-
-    disp_ext = tuple(ext(s) for s in disp)
-    mass_ext = mass if scalar_mass else ext(mass)
-    return paint_fused_ext(disp_ext, mass_ext, vmin, vmax, window,
-                           diffdir=diffdir, scalar_mass=scalar_mass,
-                           nrows=disp[0].shape[0])
+    """single-device full-array lattice paint: no-copy interior +
+    wrap boundary windows (paint_fused_parts)."""
+    return paint_fused_parts(tuple(disp), mass, vmin, vmax, window,
+                             diffdir=diffdir,
+                             scalar_mass=scalar_mass)

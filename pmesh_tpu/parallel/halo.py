@@ -15,7 +15,40 @@ Must be called inside ``shard_map`` over the mesh axis.
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["extend_x"]
+__all__ = ["extend_x", "halo_planes"]
+
+
+def halo_planes(local, lo, hi, axis, D):
+    """The halo planes alone, WITHOUT concatenating them onto the
+    local slab: returns (lo_arr, hi_arr) of (lo, ...) / (hi, ...)
+    rows fetched from ring neighbors, where lo_arr[j] holds global
+    plane (my_start - lo + j) and hi_arr[j] holds (my_start + rows
+    + j).  Sends only the sliced planes over ICI (extend_x ships the
+    whole slab per hop) and leaves the local slab untouched so the
+    no-copy sliding-window kernels can read it in place.
+
+    Halos deeper than one slab are unsupported here (use extend_x).
+    Must be called inside shard_map over the mesh axis.
+    """
+    rows = local.shape[0]
+    if lo > rows or hi > rows:
+        raise ValueError("halo_planes supports halos up to one slab "
+                         "(lo=%d hi=%d rows=%d)" % (lo, hi, rows))
+    empty = jnp.zeros((0,) + local.shape[1:], local.dtype)
+    if D == 1:
+        lo_arr = local[rows - lo:] if lo > 0 else empty
+        hi_arr = local[:hi] if hi > 0 else empty
+        return lo_arr, hi_arr
+    lo_arr = empty
+    hi_arr = empty
+    if lo > 0:
+        # my tail planes go to my +1 neighbor's lo halo
+        lo_arr = lax.ppermute(local[rows - lo:], axis,
+                              [(j, (j + 1) % D) for j in range(D)])
+    if hi > 0:
+        hi_arr = lax.ppermute(local[:hi], axis,
+                              [(j, (j - 1) % D) for j in range(D)])
+    return lo_arr, hi_arr
 
 
 def extend_x(local, lo, hi, axis, D):
