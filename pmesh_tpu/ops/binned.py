@@ -76,7 +76,7 @@ def _drift_offsets(drift_bounds, ndim):
 
 
 def rebase(dslots, valid, drift_bounds, extras=(), nslots_out=None,
-           impl=None):
+           impl=None, procmesh=None):
     """Fold integer drift into cell reassignment.
 
     Parameters
@@ -90,6 +90,9 @@ def rebase(dslots, valid, drift_bounds, extras=(), nslots_out=None,
         move with the particles (e.g. velocities), same nesting as
         dslots.
     nslots_out : output slot count (default: len(dslots)).
+    procmesh : ProcessMesh or None — run the plane-walk kernel
+        per-slab under shard_map with ring-halo x planes (the XLA
+        fallback shards transparently through GSPMD instead).
 
     Returns (new_dslots, new_valid, new_extras, overflow): all
     displacements back in [0, 1); ``overflow`` counts particles that
@@ -109,7 +112,8 @@ def rebase(dslots, valid, drift_bounds, extras=(), nslots_out=None,
         impl = 'pallas' if _gp._use_pallas(None) else 'xla'
     if (impl == 'pallas' and ndim == 3
             and all(-1 <= o <= 1 for off in offsets for o in off)):
-        return _rebase_pallas(dslots, valid, extras, K, Kout, dtype)
+        return _rebase_pallas(dslots, valid, extras, K, Kout, dtype,
+                              procmesh=procmesh)
 
     new_d = [[jnp.zeros(shape, dtype) for _ in range(ndim)]
              for _ in range(Kout)]
@@ -170,7 +174,8 @@ def rebase(dslots, valid, drift_bounds, extras=(), nslots_out=None,
     return new_d, new_v, new_e, overflow
 
 
-def _rebase_pallas(dslots, valid, extras, K, Kout, dtype):
+def _rebase_pallas(dslots, valid, extras, K, Kout, dtype,
+                   procmesh=None):
     """dispatch to the fused plane-walk kernel
     (ops/binned_pallas.py) and re-validate the particle count (the
     poison contract of :func:`rebase`)."""
@@ -184,8 +189,14 @@ def _rebase_pallas(dslots, valid, extras, K, Kout, dtype):
             jnp.stack([jnp.stack(ek) for ek in e]) for e in extras])
     else:
         estacks = jnp.zeros((0,), dtype)
-    nd, nv, ne, overflow = _bp.rebase_fused(
-        dstack, vstack, estacks, K, Kout, nextra)
+    if procmesh is not None and procmesh.size > 1:
+        if nextra == 0:
+            estacks = jnp.zeros((0, K, 3) + shape, dtype)
+        nd, nv, ne, overflow = _bp.rebase_fused_sharded(
+            procmesh, dstack, vstack, estacks, K, Kout, nextra)
+    else:
+        nd, nv, ne, overflow = _bp.rebase_fused(
+            dstack, vstack, estacks, K, Kout, nextra)
     total_in = jnp.sum(vstack)
     total_out = jnp.sum(nv)
     lost = total_in - total_out - overflow.astype(dtype)
