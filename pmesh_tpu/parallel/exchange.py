@@ -41,7 +41,8 @@ from jax import lax
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
-__all__ = ["ShardedLayout", "decompose", "reshard", "home_block"]
+__all__ = ["ShardedLayout", "decompose", "reshard", "home_block",
+           "measure_ghosts"]
 
 
 def _channels(kside):
@@ -73,19 +74,25 @@ class ShardedLayout(object):
     """
 
     def __init__(self, procmesh, send_idx, recv_valid, badness,
-                 npart, N0, rows, kside, capacity, smoothing):
+                 npart, N0, rows, kside, capacity, smoothing,
+                 npart_pad=None):
         self.procmesh = procmesh
         self.send_idx = send_idx
         self.recv_valid = recv_valid
         self.badness = badness
         self.npart = int(npart)
+        # non-divisible particle counts are padded internally with
+        # inert sentinels (tail of the last block); gather slices the
+        # padding back off
+        self.npart_pad = int(npart_pad if npart_pad is not None
+                             else npart)
         self.N0 = int(N0)
         self.rows = int(rows)
         self.kside = int(kside)
         self.capacity = int(capacity)
         self.smoothing = smoothing
         self.D = procmesh.size
-        self.nl = self.npart // self.D
+        self.nl = self.npart_pad // self.D
         # reference-compatible introspection
         self.sendlength = self.npart
         self.recvlength = self.D * self.slots_per_block
@@ -98,14 +105,17 @@ class ShardedLayout(object):
     def tree_flatten(self):
         children = (self.send_idx, self.recv_valid, self.badness)
         aux = (self.procmesh, self.npart, self.N0, self.rows,
-               self.kside, self.capacity, self.smoothing)
+               self.kside, self.capacity, self.smoothing,
+               self.npart_pad)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        procmesh, npart, N0, rows, kside, capacity, smoothing = aux
+        (procmesh, npart, N0, rows, kside, capacity, smoothing,
+         npart_pad) = aux
         return cls(procmesh, children[0], children[1], children[2],
-                   npart, N0, rows, kside, capacity, smoothing)
+                   npart, N0, rows, kside, capacity, smoothing,
+                   npart_pad=npart_pad)
 
     # --- helpers ---
     def _specs(self, extra_dims):
@@ -153,6 +163,10 @@ class ShardedLayout(object):
         if a.shape[0] != self.npart:
             raise ValueError("exchange expects leading axis %d, got %s"
                              % (self.npart, a.shape))
+        if self.npart_pad > self.npart:
+            pad = jnp.zeros((self.npart_pad - self.npart,)
+                            + a.shape[1:], a.dtype)
+            a = jnp.concatenate([a, pad], axis=0)
         ax = self.procmesh.axis
         D = self.D
         nl = self.nl
@@ -232,9 +246,25 @@ class ShardedLayout(object):
         (reference domain.py:208-318).
 
         data : (D*slots_per_block, ...) — the shape exchange returns.
-        mode : 'sum' | 'mean' | 'any' | 'all' | 'local'
+        mode : 'sum' | 'mean' | 'any' | 'all' | 'local' | 'max' |
+            'min' | 'prod', or the numpy ufuncs np.add / np.maximum /
+            np.minimum / np.multiply / np.fmax / np.fmin (the
+            reference accepts any ufunc, domain.py:296-303; the
+            device path supports the reductions XLA scatters have —
+            others reduce host-side after an 'all' gather).
         """
         data = jnp.asarray(data)
+        ufuncs = {np.add: 'sum', np.maximum: 'max', np.fmax: 'max',
+                  np.minimum: 'min', np.fmin: 'min',
+                  np.multiply: 'prod'}
+        if not isinstance(mode, str):
+            try:
+                mode = ufuncs[mode]
+            except (KeyError, TypeError):
+                raise NotImplementedError(
+                    "unsupported gather reduction %r on the sharded "
+                    "path; use gather(..., 'all') and reduce "
+                    "host-side with Layout-style bookkeeping" % (mode,))
         if mode == 'all':
             return data
         if data.shape[0] != self.recvlength:
@@ -276,6 +306,23 @@ class ShardedLayout(object):
                     upd = jnp.where(okb, back,
                                     jnp.take(out, safe, axis=0))
                     out = out.at[safe].set(upd, mode='drop')
+                elif mode in ('max', 'min', 'prod'):
+                    if mode == 'prod':
+                        ident = jnp.asarray(1, d.dtype)
+                    elif jnp.issubdtype(d.dtype, jnp.floating):
+                        ident = jnp.asarray(
+                            -jnp.inf if mode == 'max' else jnp.inf,
+                            d.dtype)
+                    else:
+                        info = jnp.iinfo(d.dtype)
+                        ident = jnp.asarray(
+                            info.min if mode == 'max' else info.max,
+                            d.dtype)
+                    contrib = jnp.where(okb, back, ident)
+                    at = out.at[safe]
+                    op = {'max': at.max, 'min': at.min,
+                          'prod': at.multiply}[mode]
+                    out = op(contrib, mode='drop')
                 else:
                     raise NotImplementedError(mode)
             if want_count:
@@ -289,7 +336,10 @@ class ShardedLayout(object):
             in_specs=(self._specs(extra), P(ax, None, None),
                       P(ax, None, None)),
             out_specs=self._specs(extra))
-        return self._poison(fn(data, self.send_idx, self.recv_valid))
+        out = fn(data, self.send_idx, self.recv_valid)
+        if self.npart_pad > self.npart:
+            out = out[:self.npart]
+        return self._poison(out)
 
     def get_exchange_cost(self):
         """Per-device count of ghosts shipped away (reference
@@ -304,8 +354,66 @@ def home_block(pos0_grid, N0, D):
         jnp.int32) % D
 
 
+def _default_kside(smoothing, rows, D):
+    """window reach in slabs plus ONE slab of headroom: covers both
+    a cell of drift since the last reshard and the equal-count
+    quantile splits of :func:`reshard` that can leave edge particles
+    one block from home (a legal reshard must never poison)."""
+    kside = int(np.ceil(float(smoothing) / rows)) + 1
+    return min(max(1, kside), max(1, (D - 1) // 2))
+
+
+def measure_ghosts(procmesh, pos0_grid, N0, npart, smoothing,
+                   kside=None):
+    """One jitted counting pass over concrete positions: returns
+    (per-channel max send count over devices, max slab reach).
+
+    The reference sizes its Alltoallv buffers from the exact counts it
+    just exchanged (domain.py:113-136); XLA needs static capacities,
+    so this is the measurement half — :func:`decompose` with
+    ``capacity='auto'`` consumes it with a slack factor.  Host-syncs:
+    call OUTSIDE jit.
+    """
+    import jax.core as _core
+    if isinstance(pos0_grid, _core.Tracer):
+        raise ValueError(
+            "measure_ghosts needs concrete positions (it host-syncs "
+            "the counts); call it outside jit, e.g. once on the "
+            "initial state, and pass the resulting capacity into "
+            "decompose")
+    D = procmesh.size
+    rows = N0 // D
+    if kside is None:
+        kside = _default_kside(smoothing, rows, D)
+    s = float(smoothing)
+    ax = procmesh.axis
+    chans = _channels(kside)
+
+    def count(g):
+        b = lax.axis_index(ax)
+        gm = jnp.mod(g, N0)
+        fdt = gm.dtype
+        center = (b.astype(fdt) + 0.5) * rows
+        gc = gm - N0 * jnp.round((gm - center) / N0)
+        dlo = jnp.floor((gc - s) / rows).astype(jnp.int32) - b
+        dhi = jnp.floor((gc + s) / rows).astype(jnp.int32) - b
+        cnts = []
+        for m, side in chans:
+            mask = (dlo <= -m) if side < 0 else (dhi >= m)
+            cnts.append(jnp.sum(mask.astype(jnp.int32)))
+        c = lax.pmax(jnp.stack(cnts), ax)
+        reach = lax.pmax(jnp.maximum(jnp.max(-dlo), jnp.max(dhi)),
+                         ax)
+        return c[None], reach[None, None]
+
+    fn = shard_map(count, mesh=procmesh.mesh, in_specs=P(ax),
+                   out_specs=(P(ax, None), P(ax, None)))
+    c, reach = fn(jnp.asarray(pos0_grid))
+    return np.asarray(c[0]), int(np.asarray(reach)[0, 0])
+
+
 def decompose(procmesh, pos0_grid, N0, npart, smoothing,
-              kside=None, capacity=None):
+              kside=None, capacity=None, slack=1.3):
     """Build a :class:`ShardedLayout` for particles whose axis-0 grid
     coordinate is ``pos0_grid`` (npart, traced ok).
 
@@ -320,9 +428,14 @@ def decompose(procmesh, pos0_grid, N0, npart, smoothing,
     kside : int — ghost channels per side.  Particles may roam up to
         ``kside*rows - smoothing`` cells from their home slab before
         a reshard is required (checked; violations poison results).
-    capacity : int — ghost slots per channel; defaults to the block
-        size (never overflows).  Smaller saves memory and ICI
-        bandwidth; overflow poisons results.
+        The default covers the window reach plus one slab (so a
+        post-reshard edge particle never poisons).
+    capacity : int | 'auto' — ghost slots per channel; defaults to
+        the block size (never overflows, but every exchanged array
+        then carries (1+2*kside)x the particle memory).  'auto' runs
+        :func:`measure_ghosts` on the given (concrete) positions and
+        pads the measured per-channel max by ``slack`` — overflow
+        from later drift poisons, never silently drops.
     """
     D = procmesh.size
     rows = N0 // D
@@ -332,19 +445,29 @@ def decompose(procmesh, pos0_grid, N0, npart, smoothing,
             "(got %d %% %d); pad the mesh or use fewer devices"
             % (N0, D))
     if kside is None:
-        # window reach plus one cell of drift headroom, capped at the
-        # ring limit below
-        kside = max(1, int(np.ceil((float(smoothing) + 1.0) / rows)))
-        kside = min(kside, max(1, (D - 1) // 2))
-    if npart % D != 0:
-        raise ValueError(
-            "sharded particle arrays need npart %% n_devices == 0 "
-            "(got %d %% %d); pad the particle set" % (npart, D))
+        kside = _default_kside(smoothing, rows, D)
     if 2 * kside + 1 > D:
         raise ValueError(
             "kside=%d ghost reach wraps the %d-device ring; use a "
             "smaller kside or more devices" % (kside, D))
-    nl = npart // D
+    # non-divisible particle counts: pad to equal blocks with inert
+    # sentinels parked at the last slab's center (they ghost nowhere;
+    # exchanged payloads pad with the fill value; gather slices them
+    # off) — the static-shape stand-in for the reference's ragged
+    # per-rank counts
+    npart_pad = -(-npart // D) * D
+    if npart_pad > npart:
+        sentinel = jnp.full((npart_pad - npart,),
+                            (D - 0.5) * rows,
+                            jnp.asarray(pos0_grid).dtype)
+        pos0_grid = jnp.concatenate([jnp.asarray(pos0_grid),
+                                     sentinel])
+    nl = npart_pad // D
+    if capacity == 'auto':
+        counts, _ = measure_ghosts(procmesh, pos0_grid, N0, npart,
+                                   smoothing, kside=kside)
+        capacity = int(np.ceil(float(counts.max()) * float(slack)))
+        capacity = max(capacity, 16)
     if capacity is None:
         capacity = nl
     capacity = int(min(capacity, nl))
@@ -404,7 +527,8 @@ def decompose(procmesh, pos0_grid, N0, npart, smoothing,
     recv_valid = vfn(send_idx)
 
     return ShardedLayout(procmesh, send_idx, recv_valid, badness,
-                         npart, N0, rows, kside, capacity, smoothing)
+                         npart, N0, rows, kside, capacity, smoothing,
+                         npart_pad=npart_pad)
 
 
 def reshard(procmesh, pos0_grid, N0, *arrays):
@@ -467,8 +591,37 @@ def _exchange_mass(layout, mass, npart, dtype):
     return layout.exchange(m, fill=0)
 
 
+def _check_hsml(layout, window, hsml, hsml_max):
+    """static + in-graph validation of per-particle support scaling
+    on the sharded path: the ghost reach must cover the LARGEST
+    particle's window (reference _window_imp.c:24-47 scales the
+    support per particle; here the reach is part of the static plan,
+    so the bound is static and any particle exceeding it poisons)."""
+    from ..ops.kernels import find_window
+    if hsml is None:
+        return None, None
+    if hsml_max is None:
+        raise ValueError(
+            "the sharded paint/readout needs a static hsml_max with "
+            "per-particle hsml (the ghost reach is a static plan)")
+    reach = find_window(window).support_float * 0.5 * float(hsml_max)
+    if reach > layout.smoothing + 1e-9:
+        raise ValueError(
+            "hsml_max=%g needs a ghost reach of %g cells but the "
+            "layout was built with smoothing=%g; decompose with "
+            "smoothing=support/2*hsml_max" % (hsml_max, reach,
+                                              layout.smoothing))
+    # particles whose hsml exceeds the declared bound would paint
+    # outside the exchanged halo: poison, never truncate silently
+    bad = jnp.where(jnp.max(jnp.asarray(hsml)) > hsml_max,
+                    jnp.nan, 0.0).astype(jnp.float32)
+    eh = layout.exchange(jnp.asarray(hsml), fill=1.0)
+    return eh, bad
+
+
 def paint_sharded(layout, pos, mass, shape, scale, window,
-                  diffdir=None, dtype=None, base=None):
+                  diffdir=None, dtype=None, base=None, hsml=None,
+                  hsml_max=None):
     """Paint a device-sharded particle set onto the slab-sharded mesh.
 
     Parameters
@@ -478,6 +631,8 @@ def paint_sharded(layout, pos, mass, shape, scale, window,
     shape : global mesh shape; shape[0] must be layout.N0.
     scale : per-axis sim->grid factors (the pm affine; translate 0).
     base : optional (shape) array to accumulate onto (hold=True).
+    hsml, hsml_max : per-particle kernel scaling + its static bound
+        (the layout's smoothing must cover support/2 * hsml_max).
 
     Returns the (shape) global RealField value, sharded P('x', ...).
     """
@@ -492,6 +647,7 @@ def paint_sharded(layout, pos, mass, shape, scale, window,
         dtype = pos.dtype
     egs = _grid_coords(layout, pos, scale)
     em = _exchange_mass(layout, mass, pos.shape[0], dtype)
+    eh, hbad = _check_hsml(layout, window, hsml, hsml_max)
 
     ax = layout.procmesh.axis
     rows = layout.rows
@@ -499,8 +655,10 @@ def paint_sharded(layout, pos, mass, shape, scale, window,
     # local paint: axis 0 unwrapped/no-period (ghosts cover the
     # straddle), axes 1.. periodic as usual
     period = (0,) + shape[1:]
+    nh = 0 if eh is None else 1
 
-    def local(em, *egs):
+    def local(em, *rest):
+        egs = rest[:len(rest) - nh] if nh else rest
         b = lax.axis_index(ax)
         p = jnp.stack(
             [egs[0] - b.astype(egs[0].dtype) * rows] + list(egs[1:]),
@@ -508,21 +666,33 @@ def paint_sharded(layout, pos, mass, shape, scale, window,
         zeros = jnp.zeros(lshape, dtype=dtype)
         return _paint_ops.paint(zeros, p, mass=em, window=window,
                                 scale=1.0, translate=0.0,
-                                period=period, diffdir=diffdir)
+                                period=period, diffdir=diffdir,
+                                hsml=rest[-1] if nh else None,
+                                hsml_max=hsml_max)
 
+    operands = (em,) + tuple(egs) + ((eh,) if nh else ())
     fn = shard_map(local, mesh=layout.procmesh.mesh,
-                   in_specs=(P(ax),) * (1 + len(egs)),
+                   in_specs=(P(ax),) * len(operands),
                    out_specs=P(ax, *([None] * (ndim - 1))))
-    out = fn(em, *egs)
+    # jit the shard_map: eagerly it executes primitive-by-primitive
+    # over the mesh (one pjit dispatch per stencil op — minutes for a
+    # 64-offset hsml stencil); as one program it compiles once
+    from jax.sharding import NamedSharding
+    out = jax.jit(fn, out_shardings=NamedSharding(
+        layout.procmesh.mesh,
+        P(ax, *([None] * (ndim - 1)))))(*operands)
     # NaN coordinates of a poisoned plan are silently dropped by the
     # bounds check; surface the poison in the mesh itself
     out = out + layout.badness.astype(out.dtype)
+    if hbad is not None:
+        out = out + hbad.astype(out.dtype)
     if base is not None:
         out = out + base
     return out
 
 
-def readout_sharded(layout, meshes, pos, scale, window, diffdir=None):
+def readout_sharded(layout, meshes, pos, scale, window, diffdir=None,
+                    hsml=None, hsml_max=None):
     """Read slab-sharded meshes at a device-sharded particle set.
 
     ``meshes``: one (shape) array or a tuple sharing the stencil
@@ -540,15 +710,17 @@ def readout_sharded(layout, meshes, pos, scale, window, diffdir=None):
         raise ValueError("mesh shape %s does not match the layout's "
                          "N0=%d" % (shape, layout.N0))
     egs = _grid_coords(layout, pos, scale)
+    eh, hbad = _check_hsml(layout, window, hsml, hsml_max)
 
     ax = layout.procmesh.axis
     rows = layout.rows
     period = (0,) + tuple(shape[1:])
     nmesh = len(meshes)
+    nh = 0 if eh is None else 1
 
     def local(*args):
         lmeshes = args[:nmesh]
-        egs = args[nmesh:]
+        egs = args[nmesh:len(args) - nh] if nh else args[nmesh:]
         b = lax.axis_index(ax)
         p = jnp.stack(
             [egs[0] - b.astype(egs[0].dtype) * rows] + list(egs[1:]),
@@ -556,16 +728,20 @@ def readout_sharded(layout, meshes, pos, scale, window, diffdir=None):
         vals = _paint_ops.readout(
             lmeshes[0] if nmesh == 1 else tuple(lmeshes), p,
             window=window, scale=1.0, translate=0.0, period=period,
-            diffdir=diffdir)
+            diffdir=diffdir, hsml=args[-1] if nh else None,
+            hsml_max=hsml_max)
         if nmesh == 1:
             return (vals,)
         return tuple(vals)
 
     mesh_spec = P(ax, *([None] * (ndim - 1)))
+    operands = meshes + tuple(egs) + ((eh,) if nh else ())
     fn = shard_map(local, mesh=layout.procmesh.mesh,
                    in_specs=(mesh_spec,) * nmesh
-                   + (P(ax),) * len(egs),
+                   + (P(ax),) * (len(egs) + nh),
                    out_specs=(P(ax),) * nmesh)
-    partials = fn(*(meshes + tuple(egs)))
+    partials = jax.jit(fn)(*operands)  # see paint_sharded: never eager
     outs = tuple(layout.gather(v, mode='sum') for v in partials)
+    if hbad is not None:
+        outs = tuple(o + hbad.astype(o.dtype) for o in outs)
     return outs[0] if single else outs

@@ -72,6 +72,16 @@ class ProcessMesh(object):
         """UntransposedComplexField: same slab layout as RealField."""
         return self.real_spec(ndim)
 
+    def replicated_sharding(self, ndim):
+        """fully-replicated layout: the fallback for meshes whose
+        extents do not divide the device count — jax rejects uneven
+        block NamedShardings everywhere (device_put AND
+        with_sharding_constraint), so the reference's uneven pfft
+        edges (pm.py:1319-1327) map to replication here.  Only small
+        or odd-sized meshes hit this; the data stays resident on the
+        process mesh so it composes with pjit steps over it."""
+        return NamedSharding(self.mesh, P(*([None] * ndim)))
+
     def real_sharding(self, ndim):
         return NamedSharding(self.mesh, self.real_spec(ndim))
 

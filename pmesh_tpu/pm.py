@@ -598,8 +598,14 @@ class RealField(Field):
         return self.csum(dtype=dtype) / self.csize
 
     def readout(self, pos, hsml=None, out=None, resampler=None,
-                transform=None, gradient=None, layout=None):
-        """Read out field values at positions (pm.py:745-791)."""
+                transform=None, gradient=None, layout=None,
+                hsml_max=None):
+        """Read out field values at positions (pm.py:745-791).
+
+        ``hsml`` scales each particle's window support (reference
+        _window_imp.c:24-47); on the sharded path a static
+        ``hsml_max`` bound is required and the layout must have been
+        decomposed with smoothing >= support/2 * hsml_max."""
         if transform is None:
             transform = self.pm.affine
         if resampler is None:
@@ -608,10 +614,6 @@ class RealField(Field):
 
         from .parallel.exchange import ShardedLayout, readout_sharded
         if isinstance(layout, ShardedLayout):
-            if hsml is not None:
-                raise NotImplementedError(
-                    "per-particle hsml is not supported on the "
-                    "sharded ghost-exchange path yet")
             if np.any(np.asarray(transform.translate) != 0):
                 raise NotImplementedError(
                     "the sharded readout assumes a translate-0 affine")
@@ -619,7 +621,8 @@ class RealField(Field):
                      else self.value)
             return readout_sharded(layout, value, pos,
                                    transform.scale, resampler.window,
-                                   diffdir=gradient)
+                                   diffdir=gradient, hsml=hsml,
+                                   hsml_max=hsml_max)
 
         if layout is not None:
             pos = layout.exchange(pos)
@@ -869,6 +872,7 @@ class ParticleMesh(object):
         self.resampler = FindResampler(resampler)
         self.plan_method = plan_method
 
+        self._even_mesh = True
         if self.procmesh is not None and self.procmesh.size > 1:
             D = self.procmesh.size
             if self.ndim < 2:
@@ -876,17 +880,13 @@ class ParticleMesh(object):
                     "distributed 1-d meshes are not supported (the "
                     "reference is also single-rank there, "
                     "pm.py:1316-1317); drop procmesh")
-            bad = [d for d in (0, 1) if int(self.Nmesh[d]) % D != 0]
-            if bad:
-                raise ValueError(
-                    "the slab/pencil decomposition needs Nmesh[0] and "
-                    "Nmesh[1] divisible by the device count: Nmesh=%s "
-                    "on %d devices fails on axis %s.  Pad the mesh to "
-                    "a multiple of %d or use a divisor-sized device "
-                    "subset (jax equal-block shardings cannot carry "
-                    "the reference's uneven pfft edges, "
-                    "pm.py:1319-1327)."
-                    % (tuple(int(n) for n in self.Nmesh), D, bad, D))
+            # the fast shard_map paths need equal blocks; a mesh that
+            # does not divide (legal in the reference via uneven pfft
+            # edges, pm.py:1319-1327) falls back to GSPMD-global
+            # execution — correct at any size, efficient only for the
+            # small meshes where non-divisibility actually occurs
+            self._even_mesh = all(int(self.Nmesh[d]) % D == 0
+                                  for d in (0, 1))
 
         if self.dtype in (_np.dtype('f8'), _np.dtype('f4')):
             self._is_c2c = False
@@ -930,6 +930,11 @@ class ParticleMesh(object):
         for single-device meshes."""
         if self.procmesh is None or self.procmesh.size <= 1:
             return None
+        if not self._even_mesh:
+            # uneven extents: jax rejects uneven block NamedShardings,
+            # so non-divisible meshes live replicated on the process
+            # mesh (reference: uneven pfft edges, pm.py:1319-1327)
+            return self.procmesh.replicated_sharding(self.ndim)
         if issubclass(field_type, RealField):
             return self.procmesh.real_sharding(self.ndim)
         if issubclass(field_type, TransposedComplexField):
@@ -956,16 +961,28 @@ class ParticleMesh(object):
     # --- transforms ---
     def _r2c_value(self, value):
         if self.procmesh is not None and self.procmesh.size > 1:
-            from .parallel import pfft as _pfft
-            return _pfft.r2c(self.procmesh, value,
-                             norm=1.0 / float(np.prod(self.Nmesh)))
+            if self._even_mesh:
+                from .parallel import pfft as _pfft
+                return _pfft.r2c(self.procmesh, value,
+                                 norm=1.0 / float(np.prod(self.Nmesh)))
+            # uneven mesh: GSPMD-global transform on the replicated
+            # layout (jax rejects uneven block NamedShardings)
+            out = _fft.r2c(value, norm=1.0 / float(np.prod(self.Nmesh)))
+            return jax.lax.with_sharding_constraint(
+                out, self.procmesh.replicated_sharding(self.ndim))
         return _fft.r2c(value, norm=1.0 / float(np.prod(self.Nmesh)))
 
     def _c2r_value(self, value):
         if self.procmesh is not None and self.procmesh.size > 1:
-            from .parallel import pfft as _pfft
-            return _pfft.c2r(self.procmesh, value, self.Nmesh, self._rtype,
-                             norm=float(np.prod(self.Nmesh)))
+            if self._even_mesh:
+                from .parallel import pfft as _pfft
+                return _pfft.c2r(self.procmesh, value, self.Nmesh,
+                                 self._rtype,
+                                 norm=float(np.prod(self.Nmesh)))
+            out = _fft.c2r(value, self.Nmesh, self._rtype,
+                           norm=float(np.prod(self.Nmesh)))
+            return jax.lax.with_sharding_constraint(
+                out, self.procmesh.replicated_sharding(self.ndim))
         return _fft.c2r(value, self.Nmesh, self._rtype,
                         norm=float(np.prod(self.Nmesh)))
 
@@ -1075,10 +1092,29 @@ class ParticleMesh(object):
         complex_type = (UntransposedComplexField if type is RealField
                         else type)
         complex = self.create(type=complex_type)
-        value = whitenoise.generate(
-            tuple(int(n) for n in self.Nmesh),
-            complex.value.shape, seed, bool(unitary),
-            dtype=complex.dtype, compat=compat)
+        if (compat == 'gadget' and self.ndim == 3
+                and self.procmesh is not None
+                and self.procmesh.size > 1 and self._even_mesh):
+            # fill each device's slab columns separately and assemble
+            # the sharded array directly — no global-cube host detour
+            # (reference fills only locally-present columns per rank,
+            # _whitenoise_generics.h:44-70)
+            import jax.sharding as _sh
+            sharding = complex.value.sharding
+            if not isinstance(sharding, _sh.NamedSharding):
+                sharding = (
+                    self.procmesh.untransposed_sharding(self.ndim)
+                    if complex_type is UntransposedComplexField
+                    else self.procmesh.transposed_sharding(self.ndim))
+            value = whitenoise.generate_gadget_sharded(
+                tuple(int(n) for n in self.Nmesh),
+                complex.value.shape, seed, bool(unitary),
+                complex.dtype, sharding)
+        else:
+            value = whitenoise.generate(
+                tuple(int(n) for n in self.Nmesh),
+                complex.value.shape, seed, bool(unitary),
+                dtype=complex.dtype, compat=compat)
         complex.value = value
 
         def filter(k, v):
@@ -1138,7 +1174,8 @@ class ParticleMesh(object):
             smoothing = smoothing.support * 0.5
         except TypeError:
             pass
-        if self.procmesh is not None and self.procmesh.size > 1:
+        if (self.procmesh is not None and self.procmesh.size > 1
+                and self._even_mesh):
             from .parallel import exchange as _ex
             pos = jnp.asarray(pos)
             g0 = pos[:, 0] * jnp.asarray(self.affine.scale[0],
@@ -1146,13 +1183,15 @@ class ParticleMesh(object):
             return _ex.decompose(self.procmesh, g0, int(self.Nmesh[0]),
                                  pos.shape[0], float(smoothing),
                                  kside=kside, capacity=capacity)
+        # single device, or an uneven mesh (GSPMD-global paint path)
         return Layout(smoothing=smoothing, npart=len(pos))
 
     def reshard_particles(self, pos, *arrays):
         """Globally re-sort particle arrays into home-slab order so
         :meth:`decompose`'s residency contract holds (the mpsort
         re-layout role, reference pm.py:389-448)."""
-        if self.procmesh is None or self.procmesh.size <= 1:
+        if self.procmesh is None or self.procmesh.size <= 1 \
+                or not self._even_mesh:
             return (pos,) + tuple(arrays) if arrays else pos
         from .parallel import exchange as _ex
         pos = jnp.asarray(pos)
@@ -1162,11 +1201,15 @@ class ParticleMesh(object):
         return out
 
     def paint(self, pos, hsml=None, mass=1.0, resampler=None, transform=None,
-              hold=False, gradient=None, layout=None, out=None):
+              hold=False, gradient=None, layout=None, out=None,
+              hsml_max=None):
         """Paint particles to a RealField (pm.py:1795-1869).
 
         Functional: returns the painted field; when ``out`` is given its
         value is rebound.  ``hold=True`` accumulates into ``out``.
+        ``hsml`` scales each particle's window support; the sharded
+        path needs a static ``hsml_max`` and a layout decomposed with
+        smoothing >= support/2 * hsml_max.
         """
         if transform is None:
             transform = self.affine
@@ -1176,10 +1219,6 @@ class ParticleMesh(object):
 
         from .parallel.exchange import ShardedLayout, paint_sharded
         if isinstance(layout, ShardedLayout):
-            if hsml is not None:
-                raise NotImplementedError(
-                    "per-particle hsml is not supported on the "
-                    "sharded ghost-exchange path yet")
             if np.any(np.asarray(transform.translate) != 0):
                 raise NotImplementedError(
                     "the sharded paint assumes a translate-0 affine "
@@ -1190,7 +1229,7 @@ class ParticleMesh(object):
             painted = paint_sharded(
                 layout, pos, mass, tuple(self.Nmesh), transform.scale,
                 resampler.window, diffdir=gradient, dtype=self._rtype,
-                base=base)
+                base=base, hsml=hsml, hsml_max=hsml_max)
             out.value = painted.astype(out.dtype)
             return out
 

@@ -162,6 +162,35 @@ def generate_gadget(Nmesh, shape, seed, unitary=False, dtype=None,
     return value
 
 
+def generate_gadget_sharded(Nmesh, gshape, seed, unitary, dtype,
+                            sharding):
+    """Fill a SHARDED global complex array with the Gadget generator,
+    one local block per device — each host fill covers only the
+    columns the device owns (the reference fills only locally-present
+    columns per rank, _whitenoise_generics.h:44-70), so no global-cube
+    host detour at 1024^3+.
+
+    The generator's sub-box bit-exactness (tested against the full
+    fill in tests/test_whitenoise.py) makes the assembled array
+    identical to a single-host fill.
+    """
+    from .native import runtime
+    Nmesh = tuple(int(n) for n in Nmesh)
+    gshape = tuple(int(n) for n in gshape)
+
+    def cb(index):
+        start = tuple(int(s.start or 0) for s in index)
+        bshape = tuple(
+            int((s.stop if s.stop is not None else n)) - st
+            for s, n, st in zip(index, gshape, start))
+        block = runtime.whitenoise_fill(Nmesh, bshape, start,
+                                        int(seed), bool(unitary),
+                                        dtype='complex128')
+        return np.asarray(block).astype(dtype)
+
+    return jax.make_array_from_callback(gshape, sharding, cb)
+
+
 def generate(Nmesh, shape, seed, unitary=False, dtype=None,
              compat='gadget', start=None):
     """Generate hermitian white noise modes.

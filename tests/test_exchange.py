@@ -78,7 +78,10 @@ def test_sharded_paint_readout_match_single(pmesh8):
     assert_allclose(np.asarray(r8.value), np.asarray(r1.value),
                     atol=1e-12)
     # the mesh is slab-sharded, the particle values keep their order
-    assert r8.value.sharding.spec == pmesh8.real_spec(3)
+    # (spec compared semantically: GSPMD normalizes trailing Nones)
+    from jax.sharding import NamedSharding
+    assert r8.value.sharding.is_equivalent_to(
+        NamedSharding(pmesh8.mesh, pmesh8.real_spec(3)), 3)
     v1 = r1.readout(np.asarray(X))
     v8 = r8.readout(X, layout=lay)
     assert_allclose(np.asarray(v8), np.asarray(v1), atol=1e-12)
@@ -126,13 +129,144 @@ def test_reshard_restores_residency(pmesh8):
     Xok = pm8.reshard_particles(Xbad)
     # uneven slab populations put the equal-count split points a few
     # particles off the slab boundaries: edge particles land one
-    # BLOCK from home, so the ghost reach needs one extra slab here
-    # (decompose re-validates; kside=1 would poison, not mis-paint)
-    lay = pm8.decompose(Xok, kside=2)
+    # BLOCK from home.  The DEFAULT kside budgets one slab of
+    # headroom for exactly this, so reshard -> decompose must work
+    # with defaults (round-2 verdict: a legal reshard never poisons)
+    lay = pm8.decompose(Xok)
     assert float(lay.badness) == 0.0
     assert_allclose(np.asarray(pm8.paint(Xok, layout=lay).value),
                     np.asarray(pm1.paint(np.asarray(X)).value),
                     atol=1e-12)
+
+
+def test_measured_capacity(pmesh8):
+    """capacity='auto' sizes the ghost channels from a measured
+    count instead of the full block, paints identically, and keeps
+    the exchanged-array memory near the particle memory."""
+    from pmesh_tpu.parallel import exchange as _ex
+    # N=32 -> 4-row slabs: the ghost fraction is a minority of the
+    # block (at 2-row slabs with CIC smoothing EVERY particle is a
+    # ghost and capacity rightly stays at the block size)
+    pm1, X = _particles(32, amp=0.2)
+    pm8 = ParticleMesh(Nmesh=[32] * 3, BoxSize=32.0, dtype='f8',
+                       procmesh=pmesh8)
+    g0 = jnp.asarray(X)[:, 0] * 1.0
+    counts, reach = _ex.measure_ghosts(pmesh8, g0, 32, X.shape[0],
+                                       smoothing=1.0)
+    assert counts.max() > 0
+    lay = pm8.decompose(X, capacity='auto')
+    assert float(lay.badness) == 0.0
+    assert lay.capacity < lay.nl           # actually smaller plans
+    assert lay.capacity >= int(counts.max())
+    assert_allclose(np.asarray(pm8.paint(X, layout=lay).value),
+                    np.asarray(pm1.paint(np.asarray(X)).value),
+                    atol=1e-12)
+    # traced positions cannot be measured — loud error, not a hang
+    import pytest
+    with pytest.raises(ValueError):
+        jax.jit(lambda x: pm8.decompose(x, capacity='auto'))(X)
+
+
+def test_uneven_particle_count(pmesh8):
+    """npart not divisible by the device count: the exchange pads
+    internally with inert sentinels (reference ranks carry ragged
+    counts; static shapes pad instead) — paint/readout parity and no
+    poison."""
+    N = 16
+    pm1, X = _particles(N)
+    X = X[:-13]                           # 4083 = 8*510 + 3
+    pm8 = ParticleMesh(Nmesh=[N] * 3, BoxSize=float(N), dtype='f8',
+                       procmesh=pmesh8)
+    lay = pm8.decompose(X)
+    assert float(lay.badness) == 0.0
+    assert lay.npart == X.shape[0] and lay.npart_pad % 8 == 0
+    rho8 = pm8.paint(X, layout=lay)
+    rho1 = pm1.paint(np.asarray(X))
+    assert_allclose(np.asarray(rho8.value), np.asarray(rho1.value),
+                    atol=1e-12)
+    v8 = np.asarray(rho8.readout(X, layout=lay))
+    v1 = np.asarray(rho1.readout(np.asarray(X)))
+    assert v8.shape == (X.shape[0],)
+    assert_allclose(v8, v1, atol=1e-12)
+
+
+def test_uneven_mesh_falls_back(pmesh8):
+    """Nmesh not divisible by the device count (legal in the
+    reference via uneven pfft edges, pm.py:1319-1327): the full
+    pipeline runs through the GSPMD-global fallback and matches the
+    single-device answer."""
+    N = 20                                 # 20 % 8 != 0
+    pm1, X = _particles(N)
+    pm8 = ParticleMesh(Nmesh=[N] * 3, BoxSize=float(N), dtype='f8',
+                       procmesh=pmesh8)
+    rho8 = pm8.paint(X, layout=pm8.decompose(X))
+    rho1 = pm1.paint(np.asarray(X))
+    assert_allclose(np.asarray(rho8.value), np.asarray(rho1.value),
+                    atol=1e-12)
+    c8 = rho8.r2c()
+    back = np.asarray(c8.c2r().value)
+    assert_allclose(back, np.asarray(rho1.value), atol=1e-10)
+    from pmesh_tpu.models.fastpm import Solver
+    F8 = np.asarray(jax.jit(Solver(pm8).force)(X))
+    F1 = np.asarray(jax.jit(Solver(pm1).force)(X))
+    assert_allclose(F8, F1, atol=1e-11)
+
+
+def test_sharded_hsml_matches_single(pmesh8):
+    """per-particle kernel scaling (hsml) on the sharded path: ghost
+    reach sized by the static hsml_max, parity with the single-device
+    painter, and loud failure modes (reference _window_imp.c:24-47)."""
+    N = 16
+    pm1, X = _particles(N, amp=0.3)
+    pm8 = ParticleMesh(Nmesh=[N] * 3, BoxSize=float(N), dtype='f8',
+                       procmesh=pmesh8)
+    rng = np.random.RandomState(2)
+    hsml = jnp.asarray(1.0 + rng.uniform(0, 0.8, (N ** 3,)))
+    hmax = 1.8
+    # CIC support 2 -> reach = support/2 * hsml_max
+    lay = pm8.decompose(X, smoothing=1.0 * hmax)
+    rho8 = pm8.paint(X, hsml=hsml, hsml_max=hmax, layout=lay)
+    rho1 = pm1.paint(X, hsml=hsml)
+    assert_allclose(np.asarray(rho8.value), np.asarray(rho1.value),
+                    atol=1e-12)
+    v8 = np.asarray(rho8.readout(X, hsml=hsml, hsml_max=hmax,
+                                 layout=lay))
+    v1 = np.asarray(rho1.readout(X, hsml=hsml))
+    assert_allclose(v8, v1, atol=1e-12)
+    # a layout whose reach cannot cover hsml_max: static error
+    lay_small = pm8.decompose(X)
+    with pytest.raises(ValueError):
+        pm8.paint(X, hsml=hsml, hsml_max=hmax, layout=lay_small)
+    # hsml exceeding the declared bound: NaN poison, never truncation
+    bad = np.asarray(pm8.paint(X, hsml=hsml * 2.0, hsml_max=hmax,
+                               layout=lay).value)
+    assert np.isnan(bad).all()
+
+
+def test_sharded_gather_ufuncs(pmesh8):
+    """reference Layout.gather accepts numpy ufuncs
+    (domain.py:296-303): max/min/prod reductions on the sharded path."""
+    N = 16
+    pm1, X = _particles(N)
+    pm8 = ParticleMesh(Nmesh=[N] * 3, BoxSize=float(N), dtype='f8',
+                       procmesh=pmesh8)
+    lay = pm8.decompose(X)
+    vals = jnp.arange(N ** 3, dtype=jnp.float64) + 2.0
+    ghosts = lay.exchange(vals)
+    # image count per particle from the geometry (kside reach covers
+    # all images; every image carries the same value)
+    g0 = np.asarray(X[:, 0]) % N
+    s = lay.smoothing
+    rows = lay.rows
+    nimg = (np.floor((g0 + s) / rows) - np.floor((g0 - s) / rows)
+            ).astype(int) + 1
+    v = np.asarray(vals)
+    assert_allclose(np.asarray(lay.gather(ghosts, np.maximum)), v)
+    assert_allclose(np.asarray(lay.gather(ghosts, 'min')), v)
+    assert_allclose(np.asarray(lay.gather(ghosts, np.multiply)),
+                    v ** nimg, rtol=1e-12)
+    with pytest.raises(NotImplementedError):
+        lay.gather(ghosts, np.arctan2)
 
 
 def test_sharded_force_matches_single(pmesh8):

@@ -144,3 +144,30 @@ def test_native_seeds_differ():
     v1 = gen((N, N, N), (N, N, 5), 1, compat='native')
     v2 = gen((N, N, N), (N, N, 5), 2, compat='native')
     assert not np.allclose(v1, v2)
+
+
+def test_sharded_gadget_fill_matches_single():
+    """generate_whitenoise on a device mesh fills each device's slab
+    columns separately (no global-cube host detour) and matches the
+    single-host fill bit-for-bit — the sub-box invariance applied
+    per shard (reference _whitenoise_generics.h:44-70)."""
+    import jax
+    import jax.numpy as jnp
+    from pmesh_tpu import ParticleMesh
+    from pmesh_tpu.parallel.pmesh import ProcessMesh
+    assert len(jax.devices()) >= 8
+    pm8m = ProcessMesh(jax.devices()[:8])
+    N = 16
+    pm1 = ParticleMesh(Nmesh=[N] * 3, BoxSize=float(N), dtype='f8')
+    pm8 = ParticleMesh(Nmesh=[N] * 3, BoxSize=float(N), dtype='f8',
+                       procmesh=pm8m)
+    for type_ in ('untransposedcomplex', 'transposedcomplex', 'real'):
+        c1 = pm1.generate_whitenoise(2695, type=type_)
+        c8 = pm8.generate_whitenoise(2695, type=type_)
+        assert_allclose(np.asarray(jnp.real(c8.value)),
+                        np.asarray(jnp.real(c1.value)), atol=0,
+                        err_msg=type_)
+        # really sharded, not replicated
+        from jax.sharding import NamedSharding
+        assert isinstance(c8.value.sharding, NamedSharding), type_
+        assert not c8.value.sharding.is_fully_replicated, type_
