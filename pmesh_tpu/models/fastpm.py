@@ -164,6 +164,43 @@ class Solver(object):
                 Nmesh=self.fpm.Nmesh, BoxSize=self.fpm.BoxSize,
                 dtype=self.fpm.dtype, resampler=force_resampler,
                 procmesh=self.fpm.procmesh)
+        # sharded-exchange plan parameters (kside/capacity) measured
+        # by tune_exchange; empty = decompose defaults (capacity =
+        # full block, never overflows but 1+2*kside x the memory)
+        self._exch_kwargs = {}
+
+    def tune_exchange(self, X, slack=1.5):
+        """Measure ghost counts on a concrete particle state and fix
+        the sharded exchange capacity for subsequent force() calls
+        (the reference sizes its Alltoallv buffers exactly,
+        domain.py:113-136; XLA needs a static capacity, so measure
+        once with slack and let any later overflow poison loudly).
+
+        Call once before a run (``nbody`` does it automatically on
+        the initial state); no-op on a single device."""
+        fpm = self.fpm
+        if fpm.procmesh is None or fpm.procmesh.size <= 1 \
+                or not fpm._even_mesh:
+            return None
+        from ..parallel import exchange as _ex
+        X = jnp.asarray(X)
+        g0 = X[:, 0] * jnp.asarray(fpm.affine.scale[0], X.dtype)
+        smoothing = fpm.resampler.support * 0.5
+        D = fpm.procmesh.size
+        rows = int(fpm.Nmesh[0]) // D
+        kside = _ex._default_kside(smoothing, rows, D)
+        counts, reach = _ex.measure_ghosts(
+            fpm.procmesh, g0, int(fpm.Nmesh[0]), X.shape[0],
+            smoothing, kside=kside)
+        if reach > kside:
+            raise ValueError(
+                "particles reach %d slabs from home (> kside=%d): "
+                "reshard before tuning (pm.reshard_particles)"
+                % (reach, kside))
+        capacity = max(16, int(np.ceil(float(counts.max())
+                                       * float(slack))))
+        self._exch_kwargs = dict(kside=kside, capacity=capacity)
+        return self._exch_kwargs
 
     # --- initial conditions ---
     def linear_field(self, power, seed, unitary=False, compat='gadget'):
@@ -241,7 +278,7 @@ class Solver(object):
         from ..ops import paint as _paint_ops
         fpm = self.fpm
         N = X.shape[0]
-        layout = fpm.decompose(X)
+        layout = fpm.decompose(X, **self._exch_kwargs)
         rho = fpm.paint(X, layout=layout)
         rho = rho * (float(fpm.Nmesh.prod()) / N)
         rhok = rho.r2c()
@@ -399,7 +436,8 @@ class Solver(object):
                 tuple((k ** 2).astype('f4') for k in ks), tuple(kd))
         k2_np, kd = self._mxu_cache
         pmh = fpm.procmesh if (fpm.procmesh is not None
-                               and fpm.procmesh.size > 1) else None
+                               and fpm.procmesh.size > 1
+                               and fpm._even_mesh) else None
         # Cooley-Tukey factored x/y axes when they split as R*128k:
         # R-fold fewer MACs at full MXU contraction, with the
         # z-Nyquist plane split off so every block is 128-lane
@@ -417,35 +455,24 @@ class Solver(object):
                              0.0)
 
         if ct:
-            Zm = shape[2] // 2
-            k2x = fft_mxu._ct_table(shape[0], k2_np[0])
-            k2y = fft_mxu._ct_table(shape[1], k2_np[1])
-            k2z = k2_np[2][:Zm]
+            # the 1/k^2 Poisson filter folds into the inverse x-pass
+            # kernel from NATURAL-order 1-d tables (fft_mxu applies
+            # the storage permutation internally) — no elementwise
+            # pass over the spectrum at all
+            pk2 = tuple(tuple(float(v) for v in k) for k in k2_np)
             if pmh is not None:
                 r, i, nqr, nqi = \
                     fft_mxu.fft3_real_forward_half_ct2_sharded(
                         pmh, rho, precision=precision)
-            else:
-                r, i, nqr, nqi = fft_mxu.fft3_real_forward_half_ct2(
-                    rho, precision=precision)
-            tie = 0.0 * r[0, 0, 0]
-            k2 = ((jnp.asarray(k2x) + tie)[:, None, None]
-                  + jnp.asarray(k2y)[None, :, None]
-                  + jnp.asarray(k2z)[None, None, :])
-            invk2 = _invk2(k2)
-            k2p = (jnp.asarray(k2_np[0])[:, None]
-                   + jnp.asarray(k2_np[1])[None, :]
-                   + float(k2_np[2][Zm]) + tie)
-            invk2p = _invk2(k2p)
-            if pmh is not None:
                 return \
                     fft_mxu.fft3_real_inverse_grad3_half_ct2_sharded(
-                        pmh, r * invk2, i * invk2, nqr * invk2p,
-                        nqi * invk2p, n2=shape[2], kvecs=kd,
-                        precision=precision)
+                        pmh, r, i, nqr, nqi, n2=shape[2], kvecs=kd,
+                        precision=precision, poisson_k2=pk2)
+            r, i, nqr, nqi = fft_mxu.fft3_real_forward_half_ct2(
+                rho, precision=precision)
             return fft_mxu.fft3_real_inverse_grad3_half_ct2(
-                r * invk2, i * invk2, nqr * invk2p, nqi * invk2p,
-                n2=shape[2], kvecs=kd, precision=precision)
+                r, i, nqr, nqi, n2=shape[2], kvecs=kd,
+                precision=precision, poisson_k2=pk2)
 
         k2_1d = tuple(jnp.asarray(k) for k in k2_np)
         if pmh is not None:
@@ -504,7 +531,8 @@ class Solver(object):
         # on a device mesh the pallas kernels run per-slab inside
         # shard_map with ring halo exchange (ops/gridpm._shift_sharded)
         pmh = fpm.procmesh if (fpm.procmesh is not None
-                               and fpm.procmesh.size > 1) else None
+                               and fpm.procmesh.size > 1
+                               and fpm._even_mesh) else None
         impl = None
 
         rho = _gp.paint_grid(disp, bounds=bounds, window=kind,
@@ -593,7 +621,8 @@ class Solver(object):
         if factor is None:
             factor = 1.5 * self.cosmology.Om0
         pmh = fpm.procmesh if (fpm.procmesh is not None
-                               and fpm.procmesh.size > 1) else None
+                               and fpm.procmesh.size > 1
+                               and fpm._even_mesh) else None
         kind = fpm.resampler.window.kind
         rho = _bn.paint_binned(dslots, valid, bounds=bounds,
                                window=kind, procmesh=pmh)
@@ -624,10 +653,19 @@ class Solver(object):
         fac = _FACTORS[factors](self.cosmology) \
             if isinstance(factors, str) else factors
         K1, D1s, K2 = leapfrog_factors(time_steps, fac, scheme)
+        # coefficients ride the scan in the STATE dtype: under
+        # x64 they would otherwise promote an f4 state to f8
+        # mid-scan (carry type mismatch)
+        K1, D1s, K2 = (a.astype(self.pm.dtype)
+                       for a in (K1, D1s, K2))
         cell = float(self.pm.BoxSize[0] / self.pm.Nmesh[0])
         drift = float(step_drift) * rebase_every
         bounds = (-drift, 1.0 + drift)
         nsteps = len(K1)
+        pmh = self.pm.procmesh if (self.pm.procmesh is not None
+                                   and self.pm.procmesh.size > 1
+                                   and self.pm._even_mesh) \
+            else None
 
         dslots, vslots, valid = _bn.from_lattice(disp, vel,
                                                  nslots=nslots)
@@ -638,7 +676,7 @@ class Solver(object):
                                        for d in dk])))
         dslots, valid, (vslots,), overflow = _bn.rebase(
             dslots, valid, (min(lo0, 0.0), max(hi0, 1.0)),
-            extras=(vslots,))
+            extras=(vslots,), procmesh=pmh)
 
         def force_cells(dslots, valid):
             F = self.force_binned(dslots, valid, bounds, fft=fft)
@@ -668,7 +706,8 @@ class Solver(object):
                 step, (dslots, vslots, valid, F), coeffs)
             del F
             dslots, valid, (vslots,), ov = _bn.rebase(
-                dslots, valid, bounds, extras=(vslots,))
+                dslots, valid, bounds, extras=(vslots,),
+                procmesh=pmh)
             F = force_cells(dslots, valid)
             return (dslots, vslots, valid, F,
                     overflow + ov), None
@@ -691,7 +730,8 @@ class Solver(object):
                     step, (dslots, vslots, valid, F),
                     (K1[-rem:], D1s[-rem:], K2[-rem:]))
                 dslots, valid, (vslots,), ov = _bn.rebase(
-                    dslots, valid, bounds, extras=(vslots,))
+                    dslots, valid, bounds, extras=(vslots,),
+                    procmesh=pmh)
                 carry = (dslots, vslots, valid, F, overflow + ov)
             dslots, vslots, valid, F, overflow = carry
             return dslots, vslots, valid, overflow
@@ -707,6 +747,11 @@ class Solver(object):
         fac = _FACTORS[factors](self.cosmology) \
             if isinstance(factors, str) else factors
         K1, D1s, K2 = leapfrog_factors(time_steps, fac, scheme)
+        # coefficients ride the scan in the STATE dtype: under
+        # x64 they would otherwise promote an f4 state to f8
+        # mid-scan (carry type mismatch)
+        K1, D1s, K2 = (a.astype(self.pm.dtype)
+                       for a in (K1, D1s, K2))
         cell = float(self.pm.BoxSize[0] / self.pm.Nmesh[0])
 
         def force_cells(disp):
@@ -716,39 +761,48 @@ class Solver(object):
 
         from ..ops.gridpm import displacement_bounds
 
+        def poison(S, V, lo, hi):
+            # a displacement outside the static bounds would silently
+            # lose mass in the shift-sum paint; fold a NaN into the
+            # state THE MOMENT it happens (the exchange.py badness
+            # discipline — never a warning after wrong numbers).
+            # Both S and V are poisoned explicitly: the window-weight
+            # `where` masks would otherwise swallow the NaN on its way
+            # through the force pipeline.  Callers that need headroom
+            # widen `bounds` or use the binned path (which rebases
+            # instead of poisoning).
+            bad = jnp.where((lo < bounds[0]) | (hi > bounds[1]),
+                            jnp.nan, 0.0).astype(S[0].dtype)
+            return (tuple(s + bad for s in S),
+                    tuple(v + bad for v in V))
+
         def step(carry, coeffs):
             S, V, F, lo, hi = carry
             k1, d1, k2 = coeffs
             V = tuple(v + f * k1 for v, f in zip(V, F))
             S = tuple(s + v * d1 for s, v in zip(S, V))
-            # track the RUN-WIDE displacement extremes: a transient
-            # excursion past the static bounds drops mass even if the
-            # final state is back inside
+            # track the RUN-WIDE displacement extremes and poison
+            # in-scan on a breach — a transient excursion past the
+            # static bounds drops mass even if the final state is
+            # back inside, so it must never pass silently
             slo, shi = displacement_bounds(S)
             lo = jnp.minimum(lo, slo)
             hi = jnp.maximum(hi, shi)
+            S, V = poison(S, V, slo, shi)
             F = force_cells(S)
             V = tuple(v + f * k2 for v, f in zip(V, F))
             return (S, V, F, lo, hi), None
 
         @jax.jit
         def run(S, V):
-            F = force_cells(S)
             lo, hi = displacement_bounds(S)
+            S, V = poison(S, V, lo, hi)
+            F = force_cells(S)
             (S, V, F, lo, hi), _ = jax.lax.scan(
                 step, (S, V, F, lo, hi), (K1, D1s, K2))
             return S, V, lo, hi
 
         S, V, flo, fhi = run(tuple(disp), tuple(vel))
-        if float(flo) < bounds[0] or float(fhi) > bounds[1]:
-            import warnings
-            warnings.warn(
-                "displacements reached [%.2f, %.2f] during the run, "
-                "outside the static lattice bounds [%.2f, %.2f]; mass "
-                "was dropped — widen bounds or use the generic "
-                "Solver.nbody path"
-                % (float(flo), float(fhi), bounds[0], bounds[1]),
-                stacklevel=2)
         return S, V
 
     # --- time integration ---
@@ -760,6 +814,21 @@ class Solver(object):
         fac = _FACTORS[factors](self.cosmology) \
             if isinstance(factors, str) else factors
         K1, D1s, K2 = leapfrog_factors(time_steps, fac, scheme)
+        # coefficients ride the scan in the STATE dtype: under
+        # x64 they would otherwise promote an f4 state to f8
+        # mid-scan (carry type mismatch)
+        K1, D1s, K2 = (a.astype(self.pm.dtype)
+                       for a in (K1, D1s, K2))
+
+        # measure the exchange capacity once on the (concrete) initial
+        # state — the scan body can then build capacity-padded plans
+        # with static shapes; later drift beyond the slack poisons
+        if (self.fpm.procmesh is not None
+                and self.fpm.procmesh.size > 1
+                and not self._exch_kwargs):
+            import jax.core as _core
+            if not isinstance(state.Q, _core.Tracer):
+                self.tune_exchange(state.X)
 
         force = self.force
 

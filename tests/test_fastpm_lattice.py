@@ -57,6 +57,27 @@ def test_nbody_lattice_matches_nbody():
                                    atol=1e-10)
 
 
+def test_nbody_lattice_poisons_on_bound_breach():
+    """A displacement crossing the static bounds MID-SCAN must poison
+    the state with NaN — never a warning after silently dropped mass
+    (the exchange.py badness discipline)."""
+    pm, solver, disp = _setup(n=8)
+    n = pm.Nmesh[0]
+    rng = np.random.RandomState(5)
+    # strong outward velocity: crosses the tight upper bound after a
+    # couple of drifts, well before the scan ends
+    vel = tuple(jnp.asarray(rng.uniform(0.4, 0.5, (n, n, n)))
+                for _ in range(3))
+    steps = np.linspace(0.1, 0.5, 6)
+    S, V = solver.nbody_lattice(disp, vel, steps, bounds=(-0.5, 0.8))
+    assert not bool(np.isfinite(np.asarray(S[0])).all())
+    assert not bool(np.isfinite(np.asarray(V[0])).all())
+
+    # the same run inside generous bounds stays finite
+    S2, V2 = solver.nbody_lattice(disp, vel, steps, bounds=(-2.0, 9.0))
+    assert bool(np.isfinite(np.asarray(S2[0])).all())
+
+
 def test_lpt_lattice_matches_lpt():
     pm, solver, _ = _setup(n=8)
     cell = float(pm.BoxSize[0] / 8)
