@@ -29,6 +29,7 @@ vs_baseline = 100 ms / measured.
 
 Prints ONE JSON line.
 """
+import functools
 import json
 import time
 
@@ -100,10 +101,9 @@ def main():
     # one KDK superstep (rebase_every=2) at 256^3 K=2 — the 512^3
     # single-chip config needs the chunked rebase (roadmap); on 8
     # chips the state shards and 1024^3 runs this per-chip shape.
-    def measure_binned():
+    def measure_binned(Nb):
         from pmesh_tpu.ops import binned as bn
         from pmesh_tpu.models.fastpm import leapfrog_factors, FastPM
-        Nb = 256
         pmb = ParticleMesh(Nmesh=[Nb] * 3, BoxSize=float(Nb),
                            dtype='f4', resampler='cic')
         sb = Solver(pmb)
@@ -117,12 +117,15 @@ def main():
         bounds = (-0.5, 1.5)
         fac = FastPM(sb.cosmology)
         K1, D1s, K2 = leapfrog_factors([0.5, 0.55, 0.6], fac, 'symp2')
+        K1, D1s, K2 = (a.astype(jnp.float32) for a in (K1, D1s, K2))
 
         def force(d, v):
             F = sb.force_binned(d, v, bounds, fft='mxu')
             return tuple(tuple(f for f in s) for s in F)
 
-        @jax.jit
+        # donate the state: at 512^3 K=2 the split rebase + donation
+        # keep old+new state from ever coexisting whole
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
         def superstep(dslots, vslots, valid):
             F = force(dslots, valid)
             for i in range(2):
@@ -145,12 +148,16 @@ def main():
         t0 = time.perf_counter()
         reps = 3
         for _ in range(reps):
-            out = superstep(dslots, vslots, valid)
+            out = superstep(*out[:3])
             float(jnp.sum(out[0][0][0][0, 0, :8]))
         # per KDK step (2 steps + 1 rebase per superstep)
         return (time.perf_counter() - t0) / reps / 2 * 1000.0
 
-    dt_binned = measure_binned()
+    dt_binned = measure_binned(256)
+    try:
+        dt_binned512 = measure_binned(512)
+    except Exception as e:
+        dt_binned512 = "failed: %s" % str(e)[:80]
 
     mp_per_s = (N ** 3 / 1e6) / (dt / 1000.0)
     result = {
@@ -167,10 +174,13 @@ def main():
             "bf16_step_ms": round(dt_bf16, 3),
             "realistic_nv6_step_ms": round(dt_real, 3),
             "binned_step_256^3_ms": round(dt_binned, 3),
+            "binned_step_512^3_ms": (
+                round(dt_binned512, 3)
+                if isinstance(dt_binned512, float) else dt_binned512),
             # PROJECTED, not measured: per-chip slab kernels timed on
-            # one chip + stated a2a assumptions (tools/project_1024.py,
-            # 2026-08-17; multi-chip hardware unavailable here)
-            "projected_1024^3_v5e8_step_ms": "460-490 (see PLAN.md)",
+            # one chip (chain-differenced; tools/tune_slab.py 'pipe')
+            # + stated a2a assumptions; see PLAN.md round-3 table
+            "projected_1024^3_v5e8_step_ms": "see PLAN.md round 3",
             "particles_Mps": round(mp_per_s, 1),
             "device": str(jax.devices()[0]),
         },
