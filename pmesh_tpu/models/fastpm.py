@@ -402,12 +402,17 @@ class Solver(object):
                         for v, dx2 in zip(vel, DX2))
         return disp, vel
 
-    def _mxu_force_meshes(self, rho, precision=None):
+    def _mxu_force_meshes(self, rho, precision=None,
+                          spectrum_dtype=None):
         """spectral force meshes via the MXU DFT-matmul FFT
         (ops/fft_mxu.py): one real forward, 1/k^2 applied to the full
         (re, im) spectrum, and the i*k_d force kernel FOLDED into the
         per-axis inverse DFT matrices — three inverse transforms, no
-        extra elementwise passes."""
+        extra elementwise passes.
+
+        spectrum_dtype=jnp.bfloat16: ct2-path spectra are STORED bf16
+        (matmuls stay f32) — half the spectrum HBM and a2a traffic.
+        Non-ct2 fallback shapes ignore it (f32 storage)."""
         import numpy as np
         from ..ops import fft_mxu
         fpm = self.fpm
@@ -463,13 +468,15 @@ class Solver(object):
             if pmh is not None:
                 r, i, nqr, nqi = \
                     fft_mxu.fft3_real_forward_half_ct2_sharded(
-                        pmh, rho, precision=precision)
+                        pmh, rho, precision=precision,
+                        spectrum_dtype=spectrum_dtype)
                 return \
                     fft_mxu.fft3_real_inverse_grad3_half_ct2_sharded(
                         pmh, r, i, nqr, nqi, n2=shape[2], kvecs=kd,
                         precision=precision, poisson_k2=pk2)
             r, i, nqr, nqi = fft_mxu.fft3_real_forward_half_ct2(
-                rho, precision=precision)
+                rho, precision=precision,
+                spectrum_dtype=spectrum_dtype)
             return fft_mxu.fft3_real_inverse_grad3_half_ct2(
                 r, i, nqr, nqi, n2=shape[2], kvecs=kd,
                 precision=precision, poisson_k2=pk2)
@@ -537,10 +544,11 @@ class Solver(object):
 
         rho = _gp.paint_grid(disp, bounds=bounds, window=kind,
                              impl=impl, procmesh=pmh)
-        if fft not in ('xla', 'mxu', 'mxu_bf16'):
+        if fft not in ('xla', 'mxu', 'mxu_bf16', 'mxu_bf16s'):
             raise ValueError("unknown fft backend %r (use 'xla', "
-                             "'mxu' or 'mxu_bf16')" % (fft,))
-        if mode == 'spectral' and fft in ('mxu', 'mxu_bf16'):
+                             "'mxu', 'mxu_bf16' or 'mxu_bf16s')"
+                             % (fft,))
+        if mode == 'spectral' and fft.startswith('mxu'):
             if fpm.ndim != 3:
                 raise ValueError("fft='mxu' is 3-d only")
             if jnp.dtype(rho.dtype) != jnp.float32:
@@ -550,9 +558,14 @@ class Solver(object):
             # 'mxu' = f32-exact (3-pass matmuls, 6e-8 vs jnp.fft);
             # 'mxu_bf16' = single-pass bf16 matmuls, ~1.6e-4 relative
             # force error — far below the SuperLanczos-vs-spectral
-            # stencil difference, and ~2.7x faster on the FFT passes
+            # stencil difference, and ~2.7x faster on the FFT passes;
+            # 'mxu_bf16s' = f32 matmuls with bf16 spectrum STORAGE
+            # (half the spectrum HBM + ICI a2a traffic, ~1e-3
+            # spectrum rounding; ct2 sizes only)
             meshes = self._mxu_force_meshes(
-                rho, precision='bf16' if fft == 'mxu_bf16' else None)
+                rho, precision='bf16' if fft == 'mxu_bf16' else None,
+                spectrum_dtype=(jnp.bfloat16 if fft == 'mxu_bf16s'
+                                else None))
             vals = _gp.readout_grid(meshes, disp, bounds=bounds,
                                     window=kind, impl=impl,
                                     procmesh=pmh)
@@ -590,7 +603,7 @@ class Solver(object):
         """the 3 directional force meshes of a painted (1+delta)
         density — shared by the lattice and binned paths."""
         fpm = self.fpm
-        if fft in ('mxu', 'mxu_bf16'):
+        if fft in ('mxu', 'mxu_bf16', 'mxu_bf16s'):
             if fpm.ndim != 3:
                 raise ValueError("fft='mxu' is 3-d only")
             if jnp.dtype(rho.dtype) != jnp.float32:
@@ -598,7 +611,9 @@ class Solver(object):
                     "fft='mxu' computes in f32 (MXU matmuls); use a "
                     "dtype='f4' mesh or fft='xla' for f64 runs")
             return self._mxu_force_meshes(
-                rho, precision='bf16' if fft == 'mxu_bf16' else None)
+                rho, precision='bf16' if fft == 'mxu_bf16' else None,
+                spectrum_dtype=(jnp.bfloat16 if fft == 'mxu_bf16s'
+                                else None))
         rhok = fpm.create(type=RealField, value=rho).r2c()
         return tuple(rhok.apply(tf.force_transfer(d)).c2r().value
                      for d in range(fpm.ndim))

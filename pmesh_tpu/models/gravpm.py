@@ -41,7 +41,7 @@ def run_sim(nmesh=64, boxsize=256.0, boost=2, resampler='tsc',
     requires boost=1; displacement bounds are estimated from the LPT
     amplitude scaled by linear growth to afinal with a 30% margin
     (validated after the run).  fft selects the transform backend for
-    the lattice force ('xla', 'mxu', 'mxu_bf16'; see
+    the lattice force ('xla', 'mxu', 'mxu_bf16', 'mxu_bf16s'; see
     Solver.force_lattice).
     """
     if lattice and boost != 1:
@@ -243,7 +243,7 @@ def main(argv=None):
     ap.add_argument("--lattice", action='store_true',
                     help="mesh-shaped fast path (requires --boost 1)")
     ap.add_argument("--fft", type=str, default='xla',
-                    choices=['xla', 'mxu', 'mxu_bf16'],
+                    choices=['xla', 'mxu', 'mxu_bf16', 'mxu_bf16s'],
                     help="transform backend for the lattice force")
     ap.add_argument("--format", type=str, default='bigfile',
                     choices=['bigfile', 'npz'],

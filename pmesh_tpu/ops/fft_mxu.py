@@ -122,6 +122,14 @@ def _pick_bx(N0, N1, N2, tag=''):
                and bx * 2 * N1 * N2 * 4 * 10 < 160 * 1024 * 1024):
             bx *= 2
         return bx
+    if tag == 'zyid':
+        # dual variant: twice the out planes per row — halve the
+        # block the zyi budget would pick
+        bx = 1
+        while (N0 % (bx * 2) == 0
+               and bx * 2 * N1 * N2 * 4 * 20 < 160 * 1024 * 1024):
+            bx *= 2
+        return bx
     bx = 1
     while (N0 % (bx * 2) == 0
            and bx * 2 * N1 * N2 * 4 * 10 < 80 * 1024 * 1024):
@@ -567,8 +575,12 @@ def _x_transform_ct_multi(N0, BY, BZ, scale, prec=None, inverse=False,
             p += 3
         orefs = refs[p:]
 
-        xr = xr_ref[...]
-        xi = xi_ref[...]
+        # sub-32-bit STORAGE (bf16 spectra — half the HBM traffic)
+        # upcasts at the VMEM refs: Mosaic cannot matmul mixed
+        # f32 x bf16 operands ("Bad rhs type") and the butterfly
+        # accumulation wants f32 anyway
+        xr = xr_ref[...].astype(jnp.float32)
+        xi = xi_ref[...].astype(jnp.float32)
         if with_k2:
             k2 = (k2x[...].reshape(N0, 1, 1)
                   + k2y[...].reshape(1, BY, 1)
@@ -589,24 +601,31 @@ def _x_transform_ct_multi(N0, BY, BZ, scale, prec=None, inverse=False,
             if flat:
                 rr, ii = one(xr.reshape(N0, BY * BZ),
                              xi.reshape(N0, BY * BZ), wr, wi)
-                orefs[2 * s][...] = rr.reshape(N0, BY, BZ)
-                orefs[2 * s + 1][...] = ii.reshape(N0, BY, BZ)
+                orefs[2 * s][...] = rr.reshape(N0, BY, BZ).astype(
+                    orefs[2 * s].dtype)
+                orefs[2 * s + 1][...] = ii.reshape(N0, BY, BZ).astype(
+                    orefs[2 * s + 1].dtype)
             else:
                 for b in range(BY):
                     rr, ii = one(xr[:, b, :], xi[:, b, :], wr, wi)
-                    orefs[2 * s][:, b, :] = rr
-                    orefs[2 * s + 1][:, b, :] = ii
+                    orefs[2 * s][:, b, :] = rr.astype(
+                        orefs[2 * s].dtype)
+                    orefs[2 * s + 1][:, b, :] = ii.astype(
+                        orefs[2 * s + 1].dtype)
     return kernel
 
 
 def _xct_call_multi(pr, pi, wx, scale, prec, inverse=False, wx2=None,
-                    k2=None):
+                    k2=None, out_dtype=jnp.float32):
     """CT x-axis transform of an (N0, n1, W) block with optional dual
     weights and in-VMEM 1/k^2 folding (see _x_transform_ct_multi).
 
     k2 : None or (k2x_perm, k2y_local, k2z) 1-d f32 tables; k2y_local
         must cover exactly the n1 rows of this block (the caller
         shards it alongside the spectrum).
+    out_dtype : spectrum STORAGE dtype — bf16 halves the HBM traffic
+        of the dominant stage (matmuls still run f32; the cast
+        happens at the output store, not as a separate XLA pass).
     Returns (r, i) or (r, i, r2, i2).
     """
     N0, n1, W = pr.shape
@@ -663,7 +682,7 @@ def _xct_call_multi(pr, pi, wx, scale, prec, inverse=False, wx2=None,
         in_specs=in_specs,
         out_specs=(yspec(),) * nout,
         out_shape=(jax.ShapeDtypeStruct((N0, n1, W),
-                                        jnp.float32),) * nout,
+                                        out_dtype),) * nout,
         compiler_params=_params(),
         interpret=_interpret(),
     )(*args)
@@ -695,15 +714,16 @@ def _zy_forward_real_h_ct2(BX, N1, N2, Zm, prec=None):
     alternating-sum Nyquist plane (emitted raw, pre-x/y transforms);
     CT-y on the main block."""
     def kernel(x_ref, wzr, wzi, wyr, wyi, or_ref, oi_ref, nq_ref):
-        p = x_ref[...].reshape(BX * N1, N2)
+        # upcast sub-32-bit storage at the ref (see _x_transform_ct_multi)
+        p = x_ref[...].reshape(BX * N1, N2).astype(jnp.float32)
         nq_ref[...] = jnp.sum(p * _signs(N2, p.dtype),
                               axis=1).reshape(BX, 1, N1)
         zr = _mm(p, wzr[...], prec).reshape(BX, N1, Zm)
         zi = _mm(p, wzi[...], prec).reshape(BX, N1, Zm)
         for b in range(BX):
             yr, yi = _ct_fwd_apply(zr[b], zi[b], wyr, wyi, N1, prec)
-            or_ref[b] = yr
-            oi_ref[b] = yi
+            or_ref[b] = yr.astype(or_ref.dtype)
+            oi_ref[b] = yi.astype(oi_ref.dtype)
     return kernel
 
 
@@ -717,14 +737,81 @@ def _zy_inverse_to_real_h_ct2(BX, N1, n2, Zm, prec=None,
         else:
             xr_ref, xi_ref, wyr, wyi, A, B, o_ref = refs
         for b in range(BX):
-            yr, yi = _ct_inv_apply(xr_ref[b], xi_ref[b], wyr, wyi,
-                                   N1, prec)
+            yr, yi = _ct_inv_apply(xr_ref[b].astype(jnp.float32),
+                                   xi_ref[b].astype(jnp.float32),
+                                   wyr, wyi, N1, prec)
             out = _mm(yr, A[...], prec) + _mm(yi, B[...], prec)
             if with_plane:
                 out = out + pl_ref[b, 0][:, None] * _signs(n2,
                                                            out.dtype)
-            o_ref[b] = out
+            o_ref[b] = out.astype(o_ref.dtype)
     return kernel
+
+
+def _zy_inverse_to_real_h_ct2_dual(BX, N1, n2, Zm, prec=None,
+                                   with_plane=False):
+    """TWO inverse pipelines sharing one (xr, xi) input read — the
+    (fy, fz) pair of the spectral force triple reads the same
+    Poisson-filtered spectrum, so a dual kernel halves that read
+    (the zy analog of the dual x-pass).  Set A carries the optional
+    Nyquist plane; set B never does (the z-gradient's Nyquist
+    contribution vanishes)."""
+    def kernel(*refs):
+        if with_plane:
+            (xr_ref, xi_ref, wyrA, wyiA, Aa, Ba,
+             wyrB, wyiB, Ab, Bb, pl_ref, oA, oB) = refs
+        else:
+            (xr_ref, xi_ref, wyrA, wyiA, Aa, Ba,
+             wyrB, wyiB, Ab, Bb, oA, oB) = refs
+        for b in range(BX):
+            xr = xr_ref[b].astype(jnp.float32)
+            xi = xi_ref[b].astype(jnp.float32)
+            yr, yi = _ct_inv_apply(xr, xi, wyrA, wyiA, N1, prec)
+            out = _mm(yr, Aa[...], prec) + _mm(yi, Ba[...], prec)
+            if with_plane:
+                out = out + pl_ref[b, 0][:, None] * _signs(n2,
+                                                           out.dtype)
+            oA[b] = out.astype(oA.dtype)
+            yr, yi = _ct_inv_apply(xr, xi, wyrB, wyiB, N1, prec)
+            out = _mm(yr, Ab[...], prec) + _mm(yi, Bb[...], prec)
+            oB[b] = out.astype(oB.dtype)
+    return kernel
+
+
+def _zy_inv_ct2_call_dual(rr, ii, WyA, ABA, WyB, ABB, n2, prec,
+                          planeA=None, out_dtype=jnp.float32):
+    """dual-output inverse pass: (outA, outB) from one (rr, ii) read.
+    planeA (if given) is added to outA only."""
+    n0, N1, Zm = rr.shape
+    Ry, My = _ct_factor(N1)
+    BX = _pick_bx(n0, N1, Zm, tag='zyid')
+    with_plane = planeA is not None
+    in_specs = [_xplane_spec(N1, Zm, BX), _xplane_spec(N1, Zm, BX),
+                _full_spec((Ry, My, My)), _full_spec((Ry, My, My)),
+                _full_spec((Zm, n2)), _full_spec((Zm, n2)),
+                _full_spec((Ry, My, My)), _full_spec((Ry, My, My)),
+                _full_spec((Zm, n2)), _full_spec((Zm, n2))]
+    args = [rr, ii, jnp.asarray(WyA[0]), jnp.asarray(WyA[1]),
+            jnp.asarray(ABA[0]), jnp.asarray(ABA[1]),
+            jnp.asarray(WyB[0]), jnp.asarray(WyB[1]),
+            jnp.asarray(ABB[0]), jnp.asarray(ABB[1])]
+    if with_plane:
+        in_specs.append(pl.BlockSpec((BX, 1, N1),
+                                     lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(planeA[:, None, :])
+    return pl.pallas_call(
+        _zy_inverse_to_real_h_ct2_dual(BX, N1, n2, Zm, prec,
+                                       with_plane=with_plane),
+        grid=(n0 // BX,),
+        in_specs=in_specs,
+        out_specs=(_xplane_spec(N1, n2, BX),
+                   _xplane_spec(N1, n2, BX)),
+        out_shape=(jax.ShapeDtypeStruct((n0, N1, n2), out_dtype),
+                   jax.ShapeDtypeStruct((n0, N1, n2), out_dtype)),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(*args)
 
 
 def _plane_fft2(nq_r, nq_i, N0, N1, sign, prec, scale=1.0):
@@ -746,10 +833,12 @@ def _plane_fft2(nq_r, nq_i, N0, N1, sign, prec, scale=1.0):
     return sr * scale, si * scale
 
 
-def _zy_fwd_ct2_call(x, N2, Zm, wz, wy, prec):
+def _zy_fwd_ct2_call(x, N2, Zm, wz, wy, prec, out_dtype=jnp.float32):
     """pass 1 (ct2) on an (n0, N1, N2) block -> (r, i, nyq_plane).
     The nyq output carries a unit middle axis inside the kernel so
-    its block tiling is always legal; it is squeezed here."""
+    its block tiling is always legal; it is squeezed here.  bf16
+    input/out_dtype ride as STORAGE only (kernel computes f32); the
+    tiny nyq plane stays f32."""
     n0, N1, _ = x.shape
     Ry, My = _ct_factor(N1)
     BX = _pick_bx(n0, N1, Zm, tag='zyf')
@@ -762,26 +851,31 @@ def _zy_fwd_ct2_call(x, N2, Zm, wz, wy, prec):
         out_specs=(_xplane_spec(N1, Zm, BX), _xplane_spec(N1, Zm, BX),
                    pl.BlockSpec((BX, 1, N1), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((n0, N1, Zm), jnp.float32),
-                   jax.ShapeDtypeStruct((n0, N1, Zm), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((n0, N1, Zm), out_dtype),
+                   jax.ShapeDtypeStruct((n0, N1, Zm), out_dtype),
                    jax.ShapeDtypeStruct((n0, 1, N1), jnp.float32)),
         compiler_params=_params(),
         interpret=_interpret(),
-    )(x.astype(jnp.float32), jnp.asarray(wz[0]), jnp.asarray(wz[1]),
+    )(x if x.dtype.itemsize < 4 else x.astype(jnp.float32),
+      jnp.asarray(wz[0]), jnp.asarray(wz[1]),
       jnp.asarray(wy[0]), jnp.asarray(wy[1]))
     return pr, pi, nq[:, 0, :]
 
 
-def _xct_call(pr, pi, wx, scale, prec, inverse=False):
+def _xct_call(pr, pi, wx, scale, prec, inverse=False,
+              out_dtype=jnp.float32):
     """CT x-axis transform of an (N0, n1, W) block — the single-set,
     no-filter form of :func:`_xct_call_multi` (kept as the simple
     entry point for tools and the forward pass)."""
-    return _xct_call_multi(pr, pi, wx, scale, prec, inverse=inverse)
+    return _xct_call_multi(pr, pi, wx, scale, prec, inverse=inverse,
+                           out_dtype=out_dtype)
 
 
-def _zy_inv_ct2_call(rr, ii, Wy, AB, n2, prec, plane=None):
+def _zy_inv_ct2_call(rr, ii, Wy, AB, n2, prec, plane=None,
+                     out_dtype=jnp.float32):
     """inverse pass (ct2) on an (n0, N1, Zm) block; optionally adds
-    the xy-inverted Nyquist plane with (-1)^n weights."""
+    the xy-inverted Nyquist plane with (-1)^n weights.  bf16 in/out
+    ride as storage only (kernel computes f32)."""
     n0, N1, Zm = rr.shape
     Ry, My = _ct_factor(N1)
     BX = _pick_bx(n0, N1, Zm, tag='zyi')
@@ -802,17 +896,25 @@ def _zy_inv_ct2_call(rr, ii, Wy, AB, n2, prec, plane=None):
         grid=(n0 // BX,),
         in_specs=in_specs,
         out_specs=_xplane_spec(N1, n2, BX),
-        out_shape=jax.ShapeDtypeStruct((n0, N1, n2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n0, N1, n2), out_dtype),
         compiler_params=_params(),
         interpret=_interpret(),
     )(*args)
 
 
-@functools.partial(jax.jit, static_argnames=('norm', 'precision'))
-def fft3_real_forward_half_ct2(x, norm=True, precision=None):
+@functools.partial(jax.jit, static_argnames=('norm', 'precision',
+                                             'spectrum_dtype'))
+def fft3_real_forward_half_ct2(x, norm=True, precision=None,
+                               spectrum_dtype=None):
     """split-Nyquist CT forward: returns (r, i, nqr, nqi) — the main
     (N0, N1, N2//2) spectrum with CHUNK-PERMUTED x/y axes and the
-    z-Nyquist plane spectrum (N0, N1) in natural x/y order."""
+    z-Nyquist plane spectrum (N0, N1) in natural x/y order.
+
+    spectrum_dtype : None (f32) or jnp.bfloat16 — STORAGE dtype of
+        the returned/intermediate spectra; every matmul still runs
+        f32-accumulated.  bf16 halves the spectrum HBM traffic (and,
+        sharded, the all_to_all payload) at ~1e-3 relative spectrum
+        rounding; the tiny Nyquist plane stays f32."""
     N0, N1, N2 = x.shape
     Zm = N2 // 2
     Rx, Mx = _ct_factor(N0)
@@ -820,14 +922,16 @@ def fft3_real_forward_half_ct2(x, norm=True, precision=None):
     if Rx == 1 or Ry == 1 or N2 % 2:
         raise ValueError("ct2 needs N0/N1 = R*128k and even N2 "
                          "(got %s)" % ((N0, N1, N2),))
+    sdt = spectrum_dtype or jnp.float32
     wz = _dft_half_np(N2, Zm)
     wy = _ct_fwd_mats_np(N1)
     wx = _ct_fwd_mats_np(N0)
     prec = _resolve_prec(precision)
 
-    pr, pi, nq = _zy_fwd_ct2_call(x, N2, Zm, wz, wy, prec)
+    pr, pi, nq = _zy_fwd_ct2_call(x, N2, Zm, wz, wy, prec,
+                                  out_dtype=sdt)
     scale = 1.0 / (N0 * N1 * N2) if norm else 1.0
-    rr, ii = _xct_call(pr, pi, wx, scale, prec)
+    rr, ii = _xct_call(pr, pi, wx, scale, prec, out_dtype=sdt)
     nqr, nqi = _plane_fft2(nq, None, N0, N1, -1, prec,
                            jnp.float32(scale))
     return rr, ii, nqr, nqi
@@ -888,18 +992,28 @@ def fft3_real_inverse_grad3_half_ct2(r, i, nqr, nqi, n2, kvecs,
     plane_x = _plane_fft2(px_r, px_i, N0, N1, +1, prec)[0]
     plane_y = _plane_fft2(py_r, py_i, N0, N1, +1, prec)[0]
 
+    # bf16 (r, i) input => keep the x-pass intermediates in bf16 too
+    # (storage only; the zy-inverse upcasts at its refs and the force
+    # meshes come out f32)
+    sdt = r.dtype if r.dtype.itemsize < 4 else jnp.float32
     if TUNE.get('xct_dual', True):
         sr, si, gr, gi = _xct_call_multi(r, i, wx, 1.0, prec,
                                          inverse=True, wx2=wx_g,
-                                         k2=k2m)
+                                         k2=k2m, out_dtype=sdt)
     else:
         sr, si = _xct_call_multi(r, i, wx, 1.0, prec, inverse=True,
-                                 k2=k2m)
+                                 k2=k2m, out_dtype=sdt)
         gr, gi = _xct_call_multi(r, i, wx_g, 1.0, prec, inverse=True,
-                                 k2=k2m)
-    fy = _zy_inv_ct2_call(sr, si, wy_g, (A_p, B_p), n2, prec,
-                          plane=plane_y)
-    fz = _zy_inv_ct2_call(sr, si, wy, (A_g, B_g), n2, prec)
+                                 k2=k2m, out_dtype=sdt)
+    if TUNE.get('zy_dual', True):
+        # fy/fz share the (sr, si) read: one dual kernel
+        fy, fz = _zy_inv_ct2_call_dual(sr, si, wy_g, (A_p, B_p),
+                                       wy, (A_g, B_g), n2, prec,
+                                       planeA=plane_y)
+    else:
+        fy = _zy_inv_ct2_call(sr, si, wy_g, (A_p, B_p), n2, prec,
+                              plane=plane_y)
+        fz = _zy_inv_ct2_call(sr, si, wy, (A_g, B_g), n2, prec)
     fx = _zy_inv_ct2_call(gr, gi, wy, (A_p, B_p), n2, prec,
                           plane=plane_x)
     return fx, fy, fz
@@ -908,9 +1022,11 @@ def fft3_real_inverse_grad3_half_ct2(r, i, nqr, nqi, n2, kvecs,
 # --- sharded split-Nyquist CT pipeline -----------------------------------
 
 @functools.partial(jax.jit,
-                   static_argnames=('procmesh', 'norm', 'precision'))
+                   static_argnames=('procmesh', 'norm', 'precision',
+                                    'spectrum_dtype'))
 def fft3_real_forward_half_ct2_sharded(procmesh, x, norm=True,
-                                       precision=None):
+                                       precision=None,
+                                       spectrum_dtype=None):
     """pencil-sharded ct2 forward: pass 1 (z half + CT-y) local per
     slab, one all_to_all transpose (splitting the PERMUTED y axis),
     CT x-pass local on the transposed layout.  The tiny Nyquist plane
@@ -919,6 +1035,10 @@ def fft3_real_forward_half_ct2_sharded(procmesh, x, norm=True,
     x: (N0, N1, N2) sharded P(ax, None, None).  Returns (r, i) of
     (N0, N1, Zm) chunk-permuted, sharded P(None, ax, None), and
     (nqr, nqi) of (N0, N1), replicated.
+
+    spectrum_dtype=jnp.bfloat16 stores the inter-pass spectra (and
+    therefore the all_to_all payload riding ICI) in bf16 — half the
+    transpose bytes; matmuls stay f32-accumulated.
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -937,14 +1057,18 @@ def fft3_real_forward_half_ct2_sharded(procmesh, x, norm=True,
     wx = _ct_fwd_mats_np(N0)
     prec = _resolve_prec(precision)
     scale = 1.0 / (N0 * N1 * N2) if norm else 1.0
+    sdt = spectrum_dtype or jnp.float32
 
     def local(xl):
-        pr, pi, nq = _zy_fwd_ct2_call(xl, N2, Zm, wz, wy, prec)
+        pr, pi, nq = _zy_fwd_ct2_call(xl, N2, Zm, wz, wy, prec,
+                                      out_dtype=sdt)
+        # the a2a ships the spectra as stored — bf16 halves the ICI
+        # payload of the pencil transpose
         pr = jax.lax.all_to_all(pr, ax, split_axis=1, concat_axis=0,
                                 tiled=True)
         pi = jax.lax.all_to_all(pi, ax, split_axis=1, concat_axis=0,
                                 tiled=True)
-        rr, ii = _xct_call(pr, pi, wx, scale, prec)
+        rr, ii = _xct_call(pr, pi, wx, scale, prec, out_dtype=sdt)
         nq_full = jax.lax.all_gather(nq, ax, tiled=True)
         return rr, ii, nq_full
 
@@ -1017,21 +1141,33 @@ def fft3_real_inverse_grad3_half_ct2_sharded(procmesh, r, i, nqr,
         return jax.lax.all_to_all(a, ax, split_axis=0, concat_axis=1,
                                   tiled=True)
 
+    # bf16 (r, i) input => bf16 x-pass outputs, so the a2a back to
+    # slab layout also ships half the bytes (storage only — the
+    # zy-inverse upcasts at its refs; force meshes come out f32)
+    sdt = r.dtype if r.dtype.itemsize < 4 else jnp.float32
+
     def local(rl, il, plx, ply, k2y_l):
         k2l = None if k2m is None else (k2m[0], k2y_l, k2m[2])
         if dual:
             sr, si, gr, gi = _xct_call_multi(rl, il, wx, 1.0, prec,
                                              inverse=True, wx2=wx_g,
-                                             k2=k2l)
+                                             k2=k2l, out_dtype=sdt)
         else:
             sr, si = _xct_call_multi(rl, il, wx, 1.0, prec,
-                                     inverse=True, k2=k2l)
+                                     inverse=True, k2=k2l,
+                                     out_dtype=sdt)
             gr, gi = _xct_call_multi(rl, il, wx_g, 1.0, prec,
-                                     inverse=True, k2=k2l)
+                                     inverse=True, k2=k2l,
+                                     out_dtype=sdt)
         sr, si = a2a_back(sr), a2a_back(si)
-        fy = _zy_inv_ct2_call(sr, si, wy_g, (A_p, B_p), n2, prec,
-                              plane=ply)
-        fz = _zy_inv_ct2_call(sr, si, wy, (A_g, B_g), n2, prec)
+        if TUNE.get('zy_dual', True):
+            fy, fz = _zy_inv_ct2_call_dual(sr, si, wy_g, (A_p, B_p),
+                                           wy, (A_g, B_g), n2, prec,
+                                           planeA=ply)
+        else:
+            fy = _zy_inv_ct2_call(sr, si, wy_g, (A_p, B_p), n2, prec,
+                                  plane=ply)
+            fz = _zy_inv_ct2_call(sr, si, wy, (A_g, B_g), n2, prec)
         gr, gi = a2a_back(gr), a2a_back(gi)
         fx = _zy_inv_ct2_call(gr, gi, wy, (A_p, B_p), n2, prec,
                               plane=plx)

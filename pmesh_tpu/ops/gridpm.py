@@ -62,6 +62,11 @@ IMPL = 'auto'
 # sharded readout: fuse all meshes into one shard_map/kernel call
 # (shared halos + weights) instead of one call per mesh
 READOUT_FUSE_SHARDED = True
+# ... but only fuse the pallas KERNEL while the combined mesh planes
+# stay small: larger fused kernels crash the Mosaic compiler
+# (measured on v5e: 3-mesh OK at 512^2 f32 planes, aborts at
+# 1024x512; see tools/probe_parts.py)
+_FUSE_PLANE_LIMIT_BYTES = 4 * 1024 * 1024
 
 
 def _use_pallas(impl=None):
@@ -272,31 +277,21 @@ def _shift_sharded(_pk, meshes, disp, mass, vmin, vmax, kind, diffdir,
             out = out * m
         return out
 
-    # readout: ALL meshes in one sharded call — the halo exchange,
-    # displacement reads and window weights are shared across the
-    # force triple (the reference's 3 per-direction readouts re-walk
-    # the particles each time, pm.py:781-791; here the 3-mesh stencil
-    # is one fused pass).  READOUT_FUSE_SHARDED=False restores the
-    # per-mesh calls for A/B timing.
+    # readout: ALL meshes in one sharded call, so the halo ppermutes
+    # issue together and the displacement arrays bind once.  WITHIN
+    # the call, the multi-mesh stencil fuses into one pallas kernel
+    # (shared window weights) only for small planes: at slab shapes
+    # >~ 2 MB/plane the 3-mesh kernel crashes the Mosaic compiler
+    # (measured: OK at 512x512, compile-helper abort at 1024x512+)
+    # and the per-mesh kernels are within a few ms anyway —
+    # tools/tune_slab.py 'ro'.  READOUT_FUSE_SHARDED=False forces
+    # per-mesh kernels everywhere for A/B timing.
     nmesh = len(meshes)
     lo_n, hi_n = max(0, -vmin), max(0, vmax)
-
-    if not READOUT_FUSE_SHARDED:
-        def local1(mm, *dl):
-            if deep:
-                mext = ext_range(mm, vmin, rows - 1 + vmax)
-                return _pk.readout_fused_ext((mext,), dl, vmin, vmax,
-                                             kind,
-                                             diffdir=diffdir)[0]
-            halos = (halo_planes(mm, lo_n, hi_n, ax, D),)
-            return _pk.readout_fused_parts((mm,), dl, vmin, vmax,
-                                           kind, diffdir=diffdir,
-                                           halos=halos)[0]
-
-        fn = shard_map(local1, mesh=procmesh.mesh,
-                       in_specs=(spec,) * (1 + len(disp)),
-                       out_specs=spec, check_vma=False)
-        return tuple(fn(mm, *disp) for mm in meshes)
+    plane_bytes = (int(np.prod(meshes[0].shape[1:]))
+                   * meshes[0].dtype.itemsize)
+    fuse = (READOUT_FUSE_SHARDED
+            and nmesh * plane_bytes <= _FUSE_PLANE_LIMIT_BYTES)
 
     def local(*args):
         ms = args[:nmesh]
@@ -304,12 +299,23 @@ def _shift_sharded(_pk, meshes, disp, mass, vmin, vmax, kind, diffdir,
         if deep:
             exts = tuple(ext_range(mm, vmin, rows - 1 + vmax)
                          for mm in ms)
-            return _pk.readout_fused_ext(exts, dl, vmin, vmax, kind,
-                                         diffdir=diffdir)
+            if fuse:
+                return _pk.readout_fused_ext(exts, dl, vmin, vmax,
+                                             kind, diffdir=diffdir)
+            return tuple(
+                _pk.readout_fused_ext((e,), dl, vmin, vmax, kind,
+                                      diffdir=diffdir)[0]
+                for e in exts)
         halos = tuple(halo_planes(mm, lo_n, hi_n, ax, D)
                       for mm in ms)
-        return _pk.readout_fused_parts(ms, dl, vmin, vmax, kind,
-                                       diffdir=diffdir, halos=halos)
+        if fuse:
+            return _pk.readout_fused_parts(ms, dl, vmin, vmax, kind,
+                                           diffdir=diffdir,
+                                           halos=halos)
+        return tuple(
+            _pk.readout_fused_parts((mm,), dl, vmin, vmax, kind,
+                                    diffdir=diffdir, halos=(h,))[0]
+            for mm, h in zip(ms, halos))
 
     fn = shard_map(local, mesh=procmesh.mesh,
                    in_specs=(spec,) * (nmesh + len(disp)),

@@ -105,8 +105,10 @@ def _interpret():
 
 
 def _params():
-    # v5e has 128 MiB of VMEM; the default scoped limit is 16 MiB
-    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    # v5e has 128 MiB of VMEM; the default scoped limit is 16 MiB.
+    # 112 MB: the bf16 1024-slab paint's true scoped footprint is
+    # ~101 MB (f32 upcast temps the 100 MB limit rejected)
+    return pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024)
 
 
 def _plane_spec(n1, n2, offset=0):
@@ -124,15 +126,18 @@ _REF_BUDGET_BYTES = 72 * 1024 * 1024
 
 
 def _offset_chunks(vmin, vmax, refs_per_offset, fixed_refs,
-                   plane_bytes):
+                   plane_bytes, cplane_bytes=None):
     """split [vmin, vmax] into chunks whose pipelined plane refs fit
     the VMEM budget (each ref is double-buffered).  The in-kernel
     temporaries (per-offset weight planes + accumulators) scale with
     the plane size too, so the ref budget shrinks for large planes
     (measured: a 1024^2-plane readout at the static budget exceeded
-    scoped vmem by 17 MB)."""
+    scoped vmem by 17 MB).  ``cplane_bytes`` sizes the temporaries in
+    the COMPUTE dtype — bf16 storage still accumulates in f32 planes
+    (measured: the bf16 1024-slab paint overflowed scoped vmem by
+    880 KB when temps were budgeted at storage width)."""
     nv = vmax - vmin + 1
-    temps = (2 * nv + 6) * plane_bytes
+    temps = (2 * nv + 6) * (cplane_bytes or plane_bytes)
     budget = min(_REF_BUDGET_BYTES,
                  max(2 * plane_bytes, 96 * 1024 * 1024 - temps))
     per_chunk = max(1, (budget // (2 * plane_bytes)
@@ -179,7 +184,10 @@ def readout_fused_ext(meshes_ext, disp, vmin, vmax, window,
         base = v0 - vmin
 
         nv = vmax - vmin + 1
-        unroll = cnv * nv * nv <= _UNROLL_LIMIT
+        # the unrolled body scales with the MESH count too (each
+        # offset rolls nmesh planes): 3-mesh 1024-plane chunks above
+        # the limit crash the Mosaic register allocator
+        unroll = cnv * nv * nv * nmesh <= _UNROLL_LIMIT
 
         cdt = _cdtype(dtype)
 
@@ -253,9 +261,10 @@ def readout_fused_ext(meshes_ext, disp, vmin, vmax, window,
             interpret=_interpret(),
         )(disp[0], disp[1], disp[2], *margs)
 
+    cplane_bytes = N1 * N2 * np.dtype(_cdtype(dtype)).itemsize
     outs = None
     for v0, v1 in _offset_chunks(vmin, vmax, nmesh, 3 + nmesh,
-                                 plane_bytes):
+                                 plane_bytes, cplane_bytes):
         part = chunk_call(v0, v1)
         outs = part if outs is None else tuple(
             o + p for o, p in zip(outs, part))
@@ -492,8 +501,10 @@ def paint_fused_ext(disp_ext, mass_ext, vmin, vmax, window,
             interpret=_interpret(),
         )(*args)
 
+    cplane_bytes = N1 * N2 * np.dtype(_cdtype(dtype)).itemsize
     out = None
-    for v0, v1 in _offset_chunks(vmin, vmax, narr, 1, plane_bytes):
+    for v0, v1 in _offset_chunks(vmin, vmax, narr, 1, plane_bytes,
+                                 cplane_bytes):
         part = chunk_call(v0, v1)
         out = part if out is None else out + part
     if scalar_mass:

@@ -149,3 +149,65 @@ def test_ct_force_lattice_end_to_end():
     for a, b in zip(Fm, Fx):
         scale = float(jnp.max(jnp.abs(b)))
         assert float(jnp.max(jnp.abs(a - b))) / scale < 2e-5
+
+
+def test_ct2_bf16_storage_matches_f32():
+    """bf16 spectrum STORAGE between ct2 passes (out_dtype=bf16 +
+    bf16-input upcasts inside the kernels; every matmul still runs
+    f32) tracks the all-f32 chain to bf16 rounding.  This is the
+    memory/ICI-traffic mode of the 1024^3 single-chip anchor
+    (tools/measure_1024.py)."""
+    from pmesh_tpu.ops import fft_mxu as fm
+    N = 256
+    n0 = 8
+    Zm = N // 2
+    bf16 = jnp.bfloat16
+    rng = np.random.RandomState(11)
+    slab = jnp.asarray(rng.normal(size=(n0, N, N)).astype('f4'))
+
+    wz = fm._dft_half_np(N, Zm)
+    wy = fm._ct_fwd_mats_np(N)
+    wyi = fm._ct_inv_mats_np(N)
+    AB = fm._irfft_mats_np(N, Zm, nyquist_last=False)
+
+    # pass 1: f32 compute, bf16 store (input stays f32 here)
+    pr, pi, nq = fm._zy_fwd_ct2_call(slab, N, Zm, wz, wy, None,
+                                     out_dtype=bf16)
+    r32, i32, nq32 = fm._zy_fwd_ct2_call(slab, N, Zm, wz, wy, None)
+    assert pr.dtype == bf16 and pi.dtype == bf16
+    assert nq.dtype == jnp.float32  # tiny plane stays f32
+    sc = float(jnp.max(jnp.abs(r32))) + 1e-30
+    assert float(jnp.max(jnp.abs(pr.astype(jnp.float32) - r32))) / sc \
+        < 2e-2
+    assert_allclose(np.asarray(nq), np.asarray(nq32), atol=1e-5)
+
+    # x pass: bf16 in / bf16 out, dual weights + folded 1/k^2
+    spec_r = jnp.asarray(rng.normal(size=(N, n0, Zm)).astype('f4'))
+    spec_i = jnp.asarray(rng.normal(size=(N, n0, Zm)).astype('f4'))
+    wx = fm._ct_inv_mats_np(N)
+    wxg = fm._ct_inv_mats_np(N, fold_kvec=tuple(
+        np.sin(np.arange(N) / N).tolist()))
+    k2t = (np.arange(N, dtype=np.float32) + 1.0,
+           np.arange(n0, dtype=np.float32) + 1.0,
+           np.arange(Zm, dtype=np.float32) + 1.0)
+    f32_out = fm._xct_call_multi(spec_r, spec_i, wx, 1.0, None,
+                                 inverse=True, wx2=wxg, k2=k2t)
+    b16_out = fm._xct_call_multi(spec_r.astype(bf16),
+                                 spec_i.astype(bf16), wx, 1.0, None,
+                                 inverse=True, wx2=wxg, k2=k2t,
+                                 out_dtype=bf16)
+    for a, b in zip(b16_out, f32_out):
+        assert a.dtype == bf16
+        sc = float(jnp.max(jnp.abs(b))) + 1e-30
+        assert float(jnp.max(jnp.abs(a.astype(jnp.float32) - b))) \
+            / sc < 2e-2
+
+    # inverse zy pass: bf16 in, f32 out (the real mesh)
+    half_r = jnp.asarray(rng.normal(size=(n0, N, Zm)).astype('f4'))
+    half_i = jnp.asarray(rng.normal(size=(n0, N, Zm)).astype('f4'))
+    m32 = fm._zy_inv_ct2_call(half_r, half_i, wyi, AB, N, None)
+    m16 = fm._zy_inv_ct2_call(half_r.astype(bf16),
+                              half_i.astype(bf16), wyi, AB, N, None)
+    assert m16.dtype == jnp.float32
+    sc = float(jnp.max(jnp.abs(m32))) + 1e-30
+    assert float(jnp.max(jnp.abs(m16 - m32))) / sc < 2e-2

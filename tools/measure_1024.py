@@ -66,27 +66,23 @@ def main():
 
     def force(disp):
         rho = gpp.paint_fused_parts(disp, 1.0, VMIN, VMAX, 'cic')
-        pr, pi, nq = fm._zy_fwd_ct2_call(rho, N, Zm, wz, wyf, None)
-        rb = pr.astype(bf16)
-        ib = pi.astype(bf16)
-        del pr, pi
-        rr, ii = fm._xct_call_multi(rb, ib, wxf,
-                                    1.0 / (N * N * N), None)
-        rb = rr.astype(bf16)
-        ib = ii.astype(bf16)
-        del rr, ii
+        # bf16 STORAGE between every stage via out_dtype — the
+        # kernels upcast at their refs and compute f32 (no separate
+        # astype passes over the 2.1 GB intermediates)
+        rb, ib, nq = fm._zy_fwd_ct2_call(rho, N, Zm, wz, wyf, None,
+                                         out_dtype=bf16)
+        rb, ib = fm._xct_call_multi(rb, ib, wxf, 1.0 / (N * N * N),
+                                    None, out_dtype=bf16)
         outs = []
         for wxs, wys, AB in ((wxi, wyg, ABp), (wxi, wyi, ABg),
                              (wxg, wyi, ABp)):
             sr, si = fm._xct_call_multi(rb, ib, wxs, 1.0, None,
                                         inverse=True,
-                                        k2=(k2x, k2y, k2z))
-            srb = sr.astype(bf16)
-            sib = si.astype(bf16)
+                                        k2=(k2x, k2y, k2z),
+                                        out_dtype=bf16)
+            mb = fm._zy_inv_ct2_call(sr, si, wys, AB, N, None,
+                                     out_dtype=bf16)
             del sr, si
-            mesh = fm._zy_inv_ct2_call(srb, sib, wys, AB, N, None)
-            mb = mesh.astype(bf16)
-            del mesh
             val = gpp.readout_fused_parts((mb,), disp, VMIN, VMAX,
                                           'cic')[0]
             outs.append(jnp.sum(val.astype(jnp.float32)))

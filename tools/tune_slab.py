@@ -170,6 +170,20 @@ def sweep_zyi():
             bench("zy_inv R=%d BX=%d" % (radix, bx),
                   lambda c: fm._zy_inv_ct2_call(c, c, wyi, AB, N2,
                                                 None), half, )
+    # dual (fy+fz from one read) vs 2x single
+    for bx in (1, 2, 4):
+        fm.TUNE.clear()
+        fm.TUNE['bx:zyid:%dx%dx%d' % (ROWS, N1, Zm)] = bx
+        wyi = fm._ct_inv_mats_np(N1)
+        wyg = fm._ct_inv_mats_np(N1, fold_kvec=tuple(
+            np.sin(np.arange(N1) / N1).tolist()))
+        ABp = fm._irfft_mats_np(N2, Zm, nyquist_last=False)
+        ABg = fm._irfft_mats_np(
+            N2, Zm, grad_kvec=np.arange(Zm).astype('f8'),
+            nyquist_last=False)
+        bench("zy_inv DUAL BX=%d" % bx,
+              lambda c: fm._zy_inv_ct2_call_dual(
+                  c, c, wyg, ABp, wyi, ABg, N2, None), half)
     fm.TUNE.clear()
 
 
@@ -242,10 +256,15 @@ def sweep_paint():
     gpp._REF_BUDGET_BYTES = 72 * 1024 * 1024
 
 
-def sweep_pipe():
+def sweep_pipe(spec_dtype=None):
     """the full per-chip compute chain of the sharded force step
     (minus the a2a collectives): paint + zy-fwd + dual x-inverse
-    (with folded 1/k^2) + 3 zy-inv + readouts, as one carried chain."""
+    (with folded 1/k^2) + 3 zy-inv + readouts, as one carried chain.
+
+    spec_dtype=bf16: inter-pass spectra are STORED bf16 (kernels
+    still compute f32) — halves the HBM traffic of the FFT stages
+    AND the a2a payload of the sharded layout (the transposes ship
+    the same arrays)."""
     _, _, _, k = data()
     ks = jax.random.split(k, 3)
     dispc = tuple(0.05 + 1.9 * jax.random.uniform(
@@ -265,28 +284,32 @@ def sweep_pipe():
            np.arange(ROWS, dtype=np.float32) + 1.0,
            np.arange(Zm, dtype=np.float32) + 1.0)
 
+    sdt = spec_dtype or jnp.float32
+
     def step(c):
         disp = c
         rho = gpp.paint_fused_parts(disp, 1.0, vmin, vmax, 'cic')
-        pr, pi, nq = fm._zy_fwd_ct2_call(rho, N2, Zm, wz, wyf, None)
+        pr, pi, nq = fm._zy_fwd_ct2_call(rho, N2, Zm, wz, wyf, None,
+                                         out_dtype=sdt)
         # stand-in for the a2a transpose: reshape/transpose to the
         # (N1, ROWS, Zm) local block of the transposed layout
         tr = jnp.swapaxes(pr, 0, 1)
         ti = jnp.swapaxes(pi, 0, 1)
         sr, si, gr, gi = fm._xct_call_multi(tr, ti, wxi, 1.0, None,
                                             inverse=True, wx2=wxg,
-                                            k2=k2t)
+                                            k2=k2t, out_dtype=sdt)
         sr = jnp.swapaxes(sr, 0, 1); si = jnp.swapaxes(si, 0, 1)
         gr = jnp.swapaxes(gr, 0, 1); gi = jnp.swapaxes(gi, 0, 1)
-        fy = fm._zy_inv_ct2_call(sr, si, wyg, ABp, N2, None)
-        fz = fm._zy_inv_ct2_call(sr, si, wyi, ABg, N2, None)
+        fy, fz = fm._zy_inv_ct2_call_dual(sr, si, wyg, ABp, wyi, ABg,
+                                          N2, None)
         fx = fm._zy_inv_ct2_call(gr, gi, wyi, ABp, N2, None)
         vals = tuple(
             gpp.readout_fused_parts((m,), disp, vmin, vmax,
                                     'cic')[0] for m in (fx, fy, fz))
         return vals
 
-    bench("full per-chip compute chain", step, dispc)
+    tag = 'bf16 spectra' if spec_dtype else 'f32'
+    bench("full per-chip compute chain (%s)" % tag, step, dispc)
 
 
 def main():
@@ -306,6 +329,8 @@ def main():
         sweep_paint()
     if which in ('pipe', 'all'):
         sweep_pipe()
+    if which in ('pipe_bf16', 'all'):
+        sweep_pipe(spec_dtype=jnp.bfloat16)
 
 
 if __name__ == '__main__':
