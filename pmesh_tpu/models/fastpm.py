@@ -404,6 +404,36 @@ class Solver(object):
 
     def _mxu_force_meshes(self, rho, precision=None,
                           spectrum_dtype=None):
+        """differentiable spectral force meshes via the MXU FFT.
+
+        The force triple is LINEAR in rho and each direction is a
+        circular convolution with a real ODD kernel (i*k_d/k^2 is
+        imaginary-odd), so the real transpose is its own negative:
+        T_d^T = -T_d.  jax.custom_derivatives.linear_call wires both
+        AD modes from that identity — jvp is the operator itself,
+        vjp applies -T_d to each cotangent mesh (one x-pass + one
+        zy-inverse per direction via ``only=d``; no tape, nothing
+        saved).  Mirrors the reference's analytic c2r_vjp/r2c_vjp
+        pairing (pmesh/pm.py:865-870, 1021-1026) on the fused
+        operator instead of per-transform."""
+        from jax import custom_derivatives as _cd
+
+        def fun(_, rho):
+            return self._mxu_force_raw(rho, precision,
+                                       spectrum_dtype)
+
+        def fun_t(_, ct):
+            acc = None
+            for d in range(3):
+                f = self._mxu_force_raw(ct[d], precision,
+                                        spectrum_dtype, only=d)
+                acc = f if acc is None else acc + f
+            return -acc
+
+        return _cd.linear_call(fun, fun_t, (), rho)
+
+    def _mxu_force_raw(self, rho, precision=None,
+                       spectrum_dtype=None, only=None):
         """spectral force meshes via the MXU DFT-matmul FFT
         (ops/fft_mxu.py): one real forward, 1/k^2 applied to the full
         (re, im) spectrum, and the i*k_d force kernel FOLDED into the
@@ -412,7 +442,10 @@ class Solver(object):
 
         spectrum_dtype=jnp.bfloat16: ct2-path spectra are STORED bf16
         (matmuls stay f32) — half the spectrum HBM and a2a traffic.
-        Non-ct2 fallback shapes ignore it (f32 storage)."""
+        Non-ct2 fallback shapes ignore it (f32 storage).
+
+        only: None for the (fx, fy, fz) triple, or 0/1/2 for a single
+        direction (the linear-transpose backward path)."""
         import numpy as np
         from ..ops import fft_mxu
         fpm = self.fpm
@@ -473,13 +506,14 @@ class Solver(object):
                 return \
                     fft_mxu.fft3_real_inverse_grad3_half_ct2_sharded(
                         pmh, r, i, nqr, nqi, n2=shape[2], kvecs=kd,
-                        precision=precision, poisson_k2=pk2)
+                        precision=precision, poisson_k2=pk2,
+                        only=only)
             r, i, nqr, nqi = fft_mxu.fft3_real_forward_half_ct2(
                 rho, precision=precision,
                 spectrum_dtype=spectrum_dtype)
             return fft_mxu.fft3_real_inverse_grad3_half_ct2(
                 r, i, nqr, nqi, n2=shape[2], kvecs=kd,
-                precision=precision, poisson_k2=pk2)
+                precision=precision, poisson_k2=pk2, only=only)
 
         k2_1d = tuple(jnp.asarray(k) for k in k2_np)
         if pmh is not None:
@@ -500,11 +534,16 @@ class Solver(object):
         pr = r * invk2
         pi = i * invk2
         if pmh is not None:
-            return fft_mxu.fft3_real_inverse_grad3_half_sharded(
+            out = fft_mxu.fft3_real_inverse_grad3_half_sharded(
                 pmh, pr, pi, n2=shape[2], kvecs=kd,
                 precision=precision)
-        return fft_mxu.fft3_real_inverse_grad3_half(
-            pr, pi, n2=shape[2], kvecs=kd, precision=precision)
+        else:
+            out = fft_mxu.fft3_real_inverse_grad3_half(
+                pr, pi, n2=shape[2], kvecs=kd, precision=precision)
+        # non-ct fallback shapes: the triple is computed whole; the
+        # backward path just takes its direction (correct, 3x the
+        # work — production ct2 sizes use the efficient only= path)
+        return out if only is None else out[only]
 
     def force_lattice(self, disp, bounds, factor=None, mode='spectral',
                       fft='xla'):

@@ -938,9 +938,11 @@ def fft3_real_forward_half_ct2(x, norm=True, precision=None,
 
 
 @functools.partial(jax.jit, static_argnames=('n2', 'kvecs',
-                                             'precision', 'poisson_k2'))
+                                             'precision', 'poisson_k2',
+                                             'only'))
 def fft3_real_inverse_grad3_half_ct2(r, i, nqr, nqi, n2, kvecs,
-                                     precision=None, poisson_k2=None):
+                                     precision=None, poisson_k2=None,
+                                     only=None):
     """split-Nyquist CT spectral force triple (see the dense variant
     for the math).  The z-gradient's Nyquist contribution vanishes
     (kvecs[2] is Nyquist-zero), so only fx/fy carry the plane.
@@ -949,7 +951,11 @@ def fft3_real_inverse_grad3_half_ct2(r, i, nqr, nqi, n2, kvecs,
         (len N0, N1, Zm+1).  When given, (r, i, nqr, nqi) are the RAW
         forward spectrum and the 1/k^2 Poisson filter is folded into
         the x-pass kernel (in-VMEM, from the 1-d tables) — no separate
-        elementwise pass over the spectrum."""
+        elementwise pass over the spectrum.
+    only : None or 0/1/2 — compute just that force direction (one
+        x-pass + one zy-inverse); used by the custom-VJP backward of
+        :func:`fft3_spectral_force_ct2`, where each cotangent mesh
+        needs a single direction."""
     N0, N1, Zm = r.shape
     for d, n in ((0, N0), (1, N1)):
         if n % 2 == 0 and abs(kvecs[d][n // 2]) > 1e-12:
@@ -989,13 +995,28 @@ def fft3_real_inverse_grad3_half_ct2(r, i, nqr, nqi, n2, kvecs,
     px_i = nqr * kx[:, None]
     py_r = -nqi * ky[None, :]
     py_i = nqr * ky[None, :]
-    plane_x = _plane_fft2(px_r, px_i, N0, N1, +1, prec)[0]
-    plane_y = _plane_fft2(py_r, py_i, N0, N1, +1, prec)[0]
+    plane_x = plane_y = None
+    if only in (None, 0):
+        plane_x = _plane_fft2(px_r, px_i, N0, N1, +1, prec)[0]
+    if only in (None, 1):
+        plane_y = _plane_fft2(py_r, py_i, N0, N1, +1, prec)[0]
 
     # bf16 (r, i) input => keep the x-pass intermediates in bf16 too
     # (storage only; the zy-inverse upcasts at its refs and the force
     # meshes come out f32)
     sdt = r.dtype if r.dtype.itemsize < 4 else jnp.float32
+    if only == 0:
+        gr, gi = _xct_call_multi(r, i, wx_g, 1.0, prec, inverse=True,
+                                 k2=k2m, out_dtype=sdt)
+        return _zy_inv_ct2_call(gr, gi, wy, (A_p, B_p), n2, prec,
+                                plane=plane_x)
+    if only in (1, 2):
+        sr, si = _xct_call_multi(r, i, wx, 1.0, prec, inverse=True,
+                                 k2=k2m, out_dtype=sdt)
+        if only == 1:
+            return _zy_inv_ct2_call(sr, si, wy_g, (A_p, B_p), n2,
+                                    prec, plane=plane_y)
+        return _zy_inv_ct2_call(sr, si, wy, (A_g, B_g), n2, prec)
     if TUNE.get('xct_dual', True):
         sr, si, gr, gi = _xct_call_multi(r, i, wx, 1.0, prec,
                                          inverse=True, wx2=wx_g,
@@ -1084,11 +1105,12 @@ def fft3_real_forward_half_ct2_sharded(procmesh, x, norm=True,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    'procmesh', 'n2', 'kvecs', 'precision', 'poisson_k2'))
+    'procmesh', 'n2', 'kvecs', 'precision', 'poisson_k2', 'only'))
 def fft3_real_inverse_grad3_half_ct2_sharded(procmesh, r, i, nqr,
                                              nqi, n2, kvecs,
                                              precision=None,
-                                             poisson_k2=None):
+                                             poisson_k2=None,
+                                             only=None):
     """pencil-sharded ct2 spectral force triple: CT x-inverses local
     on the transposed layout (the plain and kx-folded passes share
     one input read — the dual kernel), a2a back, ct2 zy-inverse local
@@ -1131,10 +1153,14 @@ def fft3_real_inverse_grad3_half_ct2_sharded(procmesh, r, i, nqr,
         k2m = (_ct_table(N0, poisson_k2[0]).astype(np.float32),
                _ct_table(N1, poisson_k2[1]).astype(np.float32),
                np.asarray(poisson_k2[2][:Zm], np.float32))
-    plane_x = _plane_fft2(-nqi * kx[:, None], nqr * kx[:, None],
-                          N0, N1, +1, prec)[0]
-    plane_y = _plane_fft2(-nqi * ky[None, :], nqr * ky[None, :],
-                          N0, N1, +1, prec)[0]
+    zero_pl = jnp.zeros((N0, N1), jnp.float32)
+    plane_x = plane_y = zero_pl
+    if only in (None, 0):
+        plane_x = _plane_fft2(-nqi * kx[:, None], nqr * kx[:, None],
+                              N0, N1, +1, prec)[0]
+    if only in (None, 1):
+        plane_y = _plane_fft2(-nqi * ky[None, :], nqr * ky[None, :],
+                              N0, N1, +1, prec)[0]
     dual = bool(TUNE.get('xct_dual', True))
 
     def a2a_back(a):
@@ -1145,6 +1171,22 @@ def fft3_real_inverse_grad3_half_ct2_sharded(procmesh, r, i, nqr,
     # slab layout also ships half the bytes (storage only — the
     # zy-inverse upcasts at its refs; force meshes come out f32)
     sdt = r.dtype if r.dtype.itemsize < 4 else jnp.float32
+
+    def local_only(rl, il, plx, ply, k2y_l):
+        # single-direction inverse (the custom-VJP backward path):
+        # one x-pass + one a2a + one zy-inverse
+        k2l = None if k2m is None else (k2m[0], k2y_l, k2m[2])
+        wxs = wx_g if only == 0 else wx
+        sr, si = _xct_call_multi(rl, il, wxs, 1.0, prec,
+                                 inverse=True, k2=k2l, out_dtype=sdt)
+        sr, si = a2a_back(sr), a2a_back(si)
+        if only == 0:
+            return _zy_inv_ct2_call(sr, si, wy, (A_p, B_p), n2, prec,
+                                    plane=plx)
+        if only == 1:
+            return _zy_inv_ct2_call(sr, si, wy_g, (A_p, B_p), n2,
+                                    prec, plane=ply)
+        return _zy_inv_ct2_call(sr, si, wy, (A_g, B_g), n2, prec)
 
     def local(rl, il, plx, ply, k2y_l):
         k2l = None if k2m is None else (k2m[0], k2y_l, k2m[2])
@@ -1175,10 +1217,13 @@ def fft3_real_inverse_grad3_half_ct2_sharded(procmesh, r, i, nqr,
 
     k2y_arr = (jnp.zeros((N1,), jnp.float32) if k2m is None
                else jnp.asarray(k2m[1]))
-    fn = shard_map(local, mesh=procmesh.mesh,
+    fn = shard_map(local_only if only is not None else local,
+                   mesh=procmesh.mesh,
                    in_specs=(P(None, ax, None), P(None, ax, None),
                              P(ax, None), P(ax, None), P(ax)),
-                   out_specs=(P(ax, None, None),) * 3,
+                   out_specs=(P(ax, None, None)
+                              if only is not None
+                              else (P(ax, None, None),) * 3),
                    check_vma=False)
     return fn(r, i, plane_x, plane_y, k2y_arr)
 

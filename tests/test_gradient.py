@@ -230,3 +230,47 @@ def test_jvp_composes_with_explicit_methods():
     gfun = jax.grad(loss)
     _, hvp = jax.jvp(gfun, (pos,), (v_pos,))
     assert np.isfinite(np.asarray(hvp)).all()
+
+
+def test_mxu_force_grad_matches_xla():
+    """reverse-mode AD through the MXU force path: the force triple
+    is linear with odd real kernels (T_d^T = -T_d), wired via
+    jax.custom_derivatives.linear_call in Solver._mxu_force_meshes.
+    The gradient must match the differentiable XLA-field path on
+    both the non-ct fallback (N=16, whole-triple backward) and the
+    ct2 production pipeline (N=256, single-direction ``only=``
+    backward), single-device and sharded."""
+    from pmesh_tpu.models.fastpm import Solver
+    from pmesh_tpu.parallel.pmesh import ProcessMesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def obj(s, d, fft):
+        F = s.force_lattice(d, bounds=(0., 1.), fft=fft)
+        return jnp.sum(F[0] ** 2 + 2 * F[1] ** 2 + 3 * F[2] ** 2)
+
+    for N, tol in ((16, 5e-6), (256, 5e-4)):
+        pm = ParticleMesh(Nmesh=[N] * 3, BoxSize=float(N), dtype='f4')
+        s = Solver(pm)
+        rng = np.random.RandomState(0)
+        disp = tuple(jnp.asarray(rng.uniform(0, 1, (N,) * 3),
+                                 jnp.float32) for _ in range(3))
+        gx = jax.grad(lambda d: obj(s, d, 'xla'))(disp)
+        gm = jax.grad(lambda d: obj(s, d, 'mxu'))(disp)
+        for a, b in zip(gm, gx):
+            e = float(jnp.max(jnp.abs(a - b)))
+            sc = float(jnp.max(jnp.abs(b))) + 1e-30
+            assert e / sc < tol, (N, e / sc)
+        if N == 256:
+            # sharded ct2: the only= backward goes through the
+            # local_only shard_map body (one x-pass + a2a + zy-inv)
+            pmesh8 = ProcessMesh(jax.devices()[:8])
+            pm8 = ParticleMesh(Nmesh=[N] * 3, BoxSize=float(N),
+                               dtype='f4', procmesh=pmesh8)
+            s8 = Solver(pm8)
+            sh = NamedSharding(pmesh8.mesh, P('x', None, None))
+            dsh = tuple(jax.device_put(d, sh) for d in disp)
+            g8 = jax.grad(lambda d: obj(s8, d, 'mxu'))(dsh)
+            for a, b in zip(g8, gm):
+                e = float(jnp.max(jnp.abs(a - b)))
+                sc = float(jnp.max(jnp.abs(b))) + 1e-30
+                assert e / sc < 1e-5, e / sc
