@@ -432,20 +432,11 @@ class Solver(object):
 
         return _cd.linear_call(fun, fun_t, (), rho)
 
-    def _mxu_force_raw(self, rho, precision=None,
-                       spectrum_dtype=None, only=None):
-        """spectral force meshes via the MXU DFT-matmul FFT
-        (ops/fft_mxu.py): one real forward, 1/k^2 applied to the full
-        (re, im) spectrum, and the i*k_d force kernel FOLDED into the
-        per-axis inverse DFT matrices — three inverse transforms, no
-        extra elementwise passes.
-
-        spectrum_dtype=jnp.bfloat16: ct2-path spectra are STORED bf16
-        (matmuls stay f32) — half the spectrum HBM and a2a traffic.
-        Non-ct2 fallback shapes ignore it (f32 storage).
-
-        only: None for the (fx, fy, fz) triple, or 0/1/2 for a single
-        direction (the linear-transpose backward path)."""
+    def _mxu_setup(self):
+        """shared static config of the MXU spectral paths: mesh
+        shape, k^2 tables, SuperLanczos difference kernels, the
+        sharding procmesh (even meshes only) and the ct2 eligibility
+        flag."""
         import numpy as np
         from ..ops import fft_mxu
         fpm = self.fpm
@@ -487,6 +478,65 @@ class Solver(object):
               and shape[2] % 2 == 0
               and (pmh is None or (shape[0] % pmh.size == 0
                                    and shape[1] % pmh.size == 0)))
+        return shape, k2_np, kd, pmh, ct
+
+    def _mxu_potential(self, rho, precision=None,
+                       spectrum_dtype=None):
+        """differentiable Poisson potential via the MXU ct2 FFT —
+        ONE x-pass (1/k^2 folded) + ONE zy-inverse, vs the force
+        triple's dual x-pass + three.  The operator is a circular
+        convolution with a real EVEN kernel (1/k^2), hence
+        self-adjoint: linear_call transpose = itself.  Returns None
+        at non-ct2 shapes (caller falls back to the field path)."""
+        from jax import custom_derivatives as _cd
+        _, _, _, _, ct = self._mxu_setup()
+        if not ct:
+            return None
+
+        def fun(_, rho):
+            return self._mxu_potential_raw(rho, precision,
+                                           spectrum_dtype)
+
+        return _cd.linear_call(fun, lambda _, ct_: fun(_, ct_),
+                               (), rho)
+
+    def _mxu_potential_raw(self, rho, precision=None,
+                           spectrum_dtype=None):
+        from ..ops import fft_mxu
+        shape, k2_np, kd, pmh, ct = self._mxu_setup()
+        assert ct
+        pk2 = tuple(tuple(float(v) for v in k) for k in k2_np)
+        if pmh is not None:
+            r, i, nqr, nqi = \
+                fft_mxu.fft3_real_forward_half_ct2_sharded(
+                    pmh, rho, precision=precision,
+                    spectrum_dtype=spectrum_dtype)
+            return fft_mxu.fft3_poisson_half_ct2_sharded(
+                pmh, r, i, nqr, nqi, n2=shape[2], poisson_k2=pk2,
+                precision=precision)
+        r, i, nqr, nqi = fft_mxu.fft3_real_forward_half_ct2(
+            rho, precision=precision, spectrum_dtype=spectrum_dtype)
+        return fft_mxu.fft3_poisson_half_ct2(
+            r, i, nqr, nqi, n2=shape[2], poisson_k2=pk2,
+            precision=precision)
+
+    def _mxu_force_raw(self, rho, precision=None,
+                       spectrum_dtype=None, only=None):
+        """spectral force meshes via the MXU DFT-matmul FFT
+        (ops/fft_mxu.py): one real forward, 1/k^2 applied to the full
+        (re, im) spectrum, and the i*k_d force kernel FOLDED into the
+        per-axis inverse DFT matrices — three inverse transforms, no
+        extra elementwise passes.
+
+        spectrum_dtype=jnp.bfloat16: ct2-path spectra are STORED bf16
+        (matmuls stay f32) — half the spectrum HBM and a2a traffic.
+        Non-ct2 fallback shapes ignore it (f32 storage).
+
+        only: None for the (fx, fy, fz) triple, or 0/1/2 for a single
+        direction (the linear-transpose backward path)."""
+        from ..ops import fft_mxu
+        fpm = self.fpm
+        shape, k2_np, kd, pmh, ct = self._mxu_setup()
 
         def _invk2(k2):
             return jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0),
@@ -609,8 +659,8 @@ class Solver(object):
                                     window=kind, impl=impl,
                                     procmesh=pmh)
             return tuple(v * factor for v in vals)
-        rhok = fpm.create(type=RealField, value=rho).r2c()
         if mode == 'spectral':
+            rhok = fpm.create(type=RealField, value=rho).r2c()
             meshes = tuple(
                 rhok.apply(tf.force_transfer(d)).c2r().value
                 for d in range(fpm.ndim))
@@ -618,20 +668,35 @@ class Solver(object):
                                     window=kind, impl=impl,
                                     procmesh=pmh)
         elif mode == 'gradient':
-            if fft != 'xla':
-                raise ValueError(
-                    "fft=%r is only available with mode='spectral'; "
-                    "the gradient mode needs a single potential c2r "
-                    "through the field API" % (fft,))
             # F_d = -d(phi)/dx_d; the diffdir readout returns the
             # derivative of the interpolation w.r.t. position in cell
             # units (see gridpm.readout_grid), so F_d = -readout_d/cell
-            phi = rhok.apply(tf.poisson()).c2r().value
-            vals = tuple(
-                -_gp.readout_grid(phi, disp, bounds=bounds, window=kind,
-                                  diffdir=d, impl=impl,
-                                  procmesh=pmh) / cell
-                for d in range(fpm.ndim))
+            phi = None
+            if fft.startswith('mxu') and fpm.ndim == 3 \
+                    and jnp.dtype(rho.dtype) == jnp.float32:
+                # ONE x-pass + ONE zy-inverse for the potential
+                # (ct2 sizes; returns None otherwise -> field path)
+                phi = self._mxu_potential(
+                    rho, precision=('bf16' if fft == 'mxu_bf16'
+                                    else None),
+                    spectrum_dtype=(jnp.bfloat16
+                                    if fft == 'mxu_bf16s' else None))
+            if phi is None:
+                phi = fpm.create(type=RealField, value=rho).r2c() \
+                    .apply(tf.poisson()).c2r().value
+            if fpm.ndim == 3:
+                # one fused pass: 3 derivative readouts sharing the
+                # plane rolls (diffdir='all')
+                rds = _gp.readout_grid(phi, disp, bounds=bounds,
+                                       window=kind, diffdir='all',
+                                       impl=impl, procmesh=pmh)
+                vals = tuple(-r / cell for r in rds)
+            else:
+                vals = tuple(
+                    -_gp.readout_grid(phi, disp, bounds=bounds,
+                                      window=kind, diffdir=d,
+                                      impl=impl, procmesh=pmh) / cell
+                    for d in range(fpm.ndim))
         else:
             raise ValueError("mode must be 'spectral' or 'gradient'")
         # transfers work in box wavenumbers; acceleration comes out in

@@ -1040,6 +1040,90 @@ def fft3_real_inverse_grad3_half_ct2(r, i, nqr, nqi, n2, kvecs,
     return fx, fy, fz
 
 
+@functools.partial(jax.jit, static_argnames=('n2', 'precision',
+                                             'poisson_k2'))
+def fft3_poisson_half_ct2(r, i, nqr, nqi, n2, poisson_k2,
+                          precision=None):
+    """split-Nyquist CT Poisson potential: phi = -IFFT(spec / k^2)
+    (the tf.poisson sign) with the DC mode zeroed — ONE x-pass
+    (1/k^2 folded in-VMEM from the 1-d tables) + ONE zy-inverse, vs
+    the force triple's dual x-pass + three.  Feeds the
+    derivative-window ('gradient') force family, the reference's QPM
+    route (nbody/qpm.py:82-109, transfer.py Laplace/SuperLanzcos).
+    The -1 folds into the irfft matrices and the Nyquist plane."""
+    N0, N1, Zm = r.shape
+    prec = _resolve_prec(precision)
+    wy = _ct_inv_mats_np(N1)
+    wx = _ct_inv_mats_np(N0)
+    A_p, B_p = _irfft_mats_np(n2, Zm, nyquist_last=False)
+    A_p, B_p = -A_p, -B_p
+    k2p = (np.asarray(poisson_k2[0], np.float32)[:, None]
+           + np.asarray(poisson_k2[1], np.float32)[None, :]
+           + np.float32(poisson_k2[2][Zm]))
+    invk2p = jnp.asarray(np.where(k2p > 0, 1.0 / np.where(
+        k2p > 0, k2p, 1.0), 0.0))
+    k2m = (_ct_table(N0, poisson_k2[0]).astype(np.float32),
+           _ct_table(N1, poisson_k2[1]).astype(np.float32),
+           np.asarray(poisson_k2[2][:Zm], np.float32))
+    # Nyquist-plane potential contribution: filtered plane, 2-d
+    # inverse, real part; added onto the main block with (-1)^n
+    plane = -_plane_fft2(nqr * invk2p, nqi * invk2p, N0, N1, +1,
+                         prec)[0]
+    sdt = r.dtype if r.dtype.itemsize < 4 else jnp.float32
+    sr, si = _xct_call_multi(r, i, wx, 1.0, prec, inverse=True,
+                             k2=k2m, out_dtype=sdt)
+    return _zy_inv_ct2_call(sr, si, wy, (A_p, B_p), n2, prec,
+                            plane=plane)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'procmesh', 'n2', 'precision', 'poisson_k2'))
+def fft3_poisson_half_ct2_sharded(procmesh, r, i, nqr, nqi, n2,
+                                  poisson_k2, precision=None):
+    """pencil-sharded Poisson potential (see the local variant):
+    x-pass with folded 1/k^2 local on the transposed layout, one
+    all_to_all back, one zy-inverse per slab.  phi returns
+    P(ax, None, None)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    N0, N1, Zm = r.shape
+    ax = procmesh.axis
+    prec = _resolve_prec(precision)
+    wy = _ct_inv_mats_np(N1)
+    wx = _ct_inv_mats_np(N0)
+    A_p, B_p = _irfft_mats_np(n2, Zm, nyquist_last=False)
+    A_p, B_p = -A_p, -B_p
+    k2p = (np.asarray(poisson_k2[0], np.float32)[:, None]
+           + np.asarray(poisson_k2[1], np.float32)[None, :]
+           + np.float32(poisson_k2[2][Zm]))
+    invk2p = jnp.asarray(np.where(k2p > 0, 1.0 / np.where(
+        k2p > 0, k2p, 1.0), 0.0))
+    k2m = (_ct_table(N0, poisson_k2[0]).astype(np.float32),
+           _ct_table(N1, poisson_k2[1]).astype(np.float32),
+           np.asarray(poisson_k2[2][:Zm], np.float32))
+    plane = -_plane_fft2(nqr * invk2p, nqi * invk2p, N0, N1, +1,
+                         prec)[0]
+    sdt = r.dtype if r.dtype.itemsize < 4 else jnp.float32
+
+    def local(rl, il, pll, k2y_l):
+        sr, si = _xct_call_multi(rl, il, wx, 1.0, prec, inverse=True,
+                                 k2=(k2m[0], k2y_l, k2m[2]),
+                                 out_dtype=sdt)
+        sr = jax.lax.all_to_all(sr, ax, split_axis=0, concat_axis=1,
+                                tiled=True)
+        si = jax.lax.all_to_all(si, ax, split_axis=0, concat_axis=1,
+                                tiled=True)
+        return _zy_inv_ct2_call(sr, si, wy, (A_p, B_p), n2, prec,
+                                plane=pll)
+
+    fn = shard_map(local, mesh=procmesh.mesh,
+                   in_specs=(P(None, ax, None), P(None, ax, None),
+                             P(ax, None), P(ax)),
+                   out_specs=P(ax, None, None),
+                   check_vma=False)
+    return fn(r, i, plane, jnp.asarray(k2m[1]))
+
+
 # --- sharded split-Nyquist CT pipeline -----------------------------------
 
 @functools.partial(jax.jit,

@@ -67,6 +67,9 @@ READOUT_FUSE_SHARDED = True
 # (measured on v5e: 3-mesh OK at 512^2 f32 planes, aborts at
 # 1024x512; see tools/probe_parts.py)
 _FUSE_PLANE_LIMIT_BYTES = 4 * 1024 * 1024
+# diffdir='all' (3 derivative readouts of ONE mesh) rolls a third of
+# the planes per offset; its fused kernel gets a larger budget
+_MULTI_DIFF_FUSE_LIMIT_BYTES = 16 * 1024 * 1024
 
 
 def _use_pallas(impl=None):
@@ -169,11 +172,24 @@ def _shift_loop(meshes, disp, mass, bounds, window, diffdir, mode,
             return _pk.paint_fused(disp, m, vmin, vmax, win.kind,
                                    diffdir=diffdir,
                                    scalar_mass=(m.ndim == 0))
+        if diffdir == 'all':
+            # one potential, 3 derivative readouts sharing the plane
+            # rolls (the gradient-mode force family)
+            return _pk.readout_fused_parts(
+                (meshes[0],), disp, vmin, vmax, win.kind,
+                diffdir='all')
         # one call per mesh: measured FASTER than batching all meshes
         # into one kernel (smaller VMEM working set pipelines better)
         return tuple(_pk.readout_fused(mm, disp, vmin, vmax, win.kind,
                                        diffdir=diffdir)
                      for mm in meshes)
+
+    if diffdir == 'all' and mode == 'readout':
+        # XLA fallback: three separate diff readouts of the one mesh
+        return tuple(
+            _shift_loop(meshes, disp, mass, bounds, window, d, mode,
+                        impl, procmesh)[0]
+            for d in range(ndim))
 
     def weights(vvec):
         w = None
@@ -287,11 +303,18 @@ def _shift_sharded(_pk, meshes, disp, mass, vmin, vmax, kind, diffdir,
     # tools/tune_slab.py 'ro'.  READOUT_FUSE_SHARDED=False forces
     # per-mesh kernels everywhere for A/B timing.
     nmesh = len(meshes)
+    multi = diffdir == 'all'
+    nout = 3 if multi else nmesh
     lo_n, hi_n = max(0, -vmin), max(0, vmax)
     plane_bytes = (int(np.prod(meshes[0].shape[1:]))
                    * meshes[0].dtype.itemsize)
+    # multi-diff rolls ONE plane per offset (3 accumulators but a
+    # third of the mesh planes live), so it takes its own, larger
+    # fuse budget
+    limit = (_MULTI_DIFF_FUSE_LIMIT_BYTES if multi
+             else _FUSE_PLANE_LIMIT_BYTES)
     fuse = (READOUT_FUSE_SHARDED
-            and nmesh * plane_bytes <= _FUSE_PLANE_LIMIT_BYTES)
+            and nout * plane_bytes <= limit)
 
     def local(*args):
         ms = args[:nmesh]
@@ -299,6 +322,15 @@ def _shift_sharded(_pk, meshes, disp, mass, vmin, vmax, kind, diffdir,
         if deep:
             exts = tuple(ext_range(mm, vmin, rows - 1 + vmax)
                          for mm in ms)
+            if multi:
+                if fuse:
+                    return _pk.readout_fused_ext(exts, dl, vmin,
+                                                 vmax, kind,
+                                                 diffdir='all')
+                return tuple(
+                    _pk.readout_fused_ext(exts, dl, vmin, vmax, kind,
+                                          diffdir=d)[0]
+                    for d in range(3))
             if fuse:
                 return _pk.readout_fused_ext(exts, dl, vmin, vmax,
                                              kind, diffdir=diffdir)
@@ -308,6 +340,15 @@ def _shift_sharded(_pk, meshes, disp, mass, vmin, vmax, kind, diffdir,
                 for e in exts)
         halos = tuple(halo_planes(mm, lo_n, hi_n, ax, D)
                       for mm in ms)
+        if multi:
+            if fuse:
+                return _pk.readout_fused_parts(ms, dl, vmin, vmax,
+                                               kind, diffdir='all',
+                                               halos=halos)
+            return tuple(
+                _pk.readout_fused_parts(ms, dl, vmin, vmax, kind,
+                                        diffdir=d, halos=halos)[0]
+                for d in range(3))
         if fuse:
             return _pk.readout_fused_parts(ms, dl, vmin, vmax, kind,
                                            diffdir=diffdir,
@@ -319,7 +360,7 @@ def _shift_sharded(_pk, meshes, disp, mass, vmin, vmax, kind, diffdir,
 
     fn = shard_map(local, mesh=procmesh.mesh,
                    in_specs=(spec,) * (nmesh + len(disp)),
-                   out_specs=(spec,) * nmesh, check_vma=False)
+                   out_specs=(spec,) * nout, check_vma=False)
     return tuple(fn(*(tuple(meshes) + tuple(disp))))
 
 
@@ -447,6 +488,14 @@ def readout_grid(mesh, disp, bounds=(0.0, 1.0), window='cic',
     if diffdir is None:
         out = _readout_grid(meshes, disp, b, kind, ndim, impl,
                             procmesh)
+    elif diffdir == 'all':
+        # all ndim derivative readouts of ONE mesh in a single fused
+        # pass (shared plane rolls) — the gradient-mode force; always
+        # returns the tuple of ndim arrays
+        if len(meshes) != 1:
+            raise ValueError("diffdir='all' takes exactly one mesh")
+        return _shift_loop(meshes, disp, None, b, kind, 'all',
+                           'readout', impl, procmesh)
     else:
         out = _shift_loop(meshes, disp, None, b, kind, int(diffdir),
                           'readout', impl, procmesh)

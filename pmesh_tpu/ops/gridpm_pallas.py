@@ -172,6 +172,13 @@ def readout_fused_ext(meshes_ext, disp, vmin, vmax, window,
     win = find_window(window)
     meshes_ext = tuple(meshes_ext)
     nmesh = len(meshes_ext)
+    # diffdir='all': ONE mesh, ndim derivative readouts sharing the
+    # plane rolls (the expensive part of the stencil) — the
+    # gradient-mode force reads one potential with 3 diff kernels
+    multi = diffdir == 'all'
+    if multi and nmesh != 1:
+        raise ValueError("diffdir='all' takes exactly one mesh")
+    nout = 3 if multi else nmesh
     _, N1, N2 = disp[0].shape
     nrows = disp[0].shape[0] if ngrid is None else ngrid
     if out_rows is None:
@@ -184,10 +191,11 @@ def readout_fused_ext(meshes_ext, disp, vmin, vmax, window,
         base = v0 - vmin
 
         nv = vmax - vmin + 1
-        # the unrolled body scales with the MESH count too (each
-        # offset rolls nmesh planes): 3-mesh 1024-plane chunks above
-        # the limit crash the Mosaic register allocator
-        unroll = cnv * nv * nv * nmesh <= _UNROLL_LIMIT
+        # the unrolled body scales with the OUTPUT count too (each
+        # offset rolls nmesh planes and feeds nout accumulators):
+        # 3-mesh 1024-plane chunks above the limit crash the Mosaic
+        # register allocator
+        unroll = cnv * nv * nv * max(nmesh, nout) <= _UNROLL_LIMIT
 
         cdt = _cdtype(dtype)
 
@@ -197,7 +205,34 @@ def readout_fused_ext(meshes_ext, disp, vmin, vmax, window,
             sx = sxr[0].astype(cdt)
             sy = syr[0].astype(cdt)
             sz = szr[0].astype(cdt)
-            accs = [jnp.zeros((N1, N2), cdt) for _ in range(nmesh)]
+            accs = [jnp.zeros((N1, N2), cdt) for _ in range(nout)]
+            if unroll and multi:
+                ky = [_axis_k(win, False, vy, sy).astype(cdt)
+                      for vy in range(vmin, vmax + 1)]
+                kyd = [_axis_k(win, True, vy, sy).astype(cdt)
+                       for vy in range(vmin, vmax + 1)]
+                kz = [_axis_k(win, False, vz, sz).astype(cdt)
+                      for vz in range(vmin, vmax + 1)]
+                kzd = [_axis_k(win, True, vz, sz).astype(cdt)
+                       for vz in range(vmin, vmax + 1)]
+                for ivx, vx in enumerate(range(v0, v1 + 1)):
+                    kx = _axis_k(win, False, vx, sx).astype(cdt)
+                    kxd = _axis_k(win, True, vx, sx).astype(cdt)
+                    plane = mrefs[ivx][0].astype(cdt)
+                    for ivy, vy in enumerate(range(vmin, vmax + 1)):
+                        py = _shift2(plane, vy, 0)
+                        a = kx * ky[ivy]     # plain xy
+                        b = kxd * ky[ivy]    # d/dx
+                        c = kx * kyd[ivy]    # d/dy
+                        for ivz, vz in enumerate(range(vmin,
+                                                       vmax + 1)):
+                            sp = _shift2(py, 0, vz)
+                            accs[0] = accs[0] + (b * kz[ivz]) * sp
+                            accs[1] = accs[1] + (c * kz[ivz]) * sp
+                            accs[2] = accs[2] + (a * kzd[ivz]) * sp
+                for m in range(nout):
+                    orefs[m][0] = accs[m].astype(dtype)
+                return
             if unroll:
                 ky = [_axis_k(win, diffdir == 1, vy, sy).astype(cdt)
                       for vy in range(vmin, vmax + 1)]
@@ -222,24 +257,42 @@ def readout_fused_ext(meshes_ext, disp, vmin, vmax, window,
             # wide ranges: fori over (vy, vz) with dynamic rotates to
             # bound the register live set (full unrolling spills)
             for ivx, vx in enumerate(range(v0, v1 + 1)):
-                kx = _axis_k(win, diffdir == 0, vx, sx).astype(cdt)
                 planes = [mrefs[m * cnv + ivx][0].astype(cdt)
                           for m in range(nmesh)]
+                if multi:
+                    kx = _axis_k(win, False, vx, sx).astype(cdt)
+                    kxd = _axis_k(win, True, vx, sx).astype(cdt)
 
-                def body(t, accs, kx=kx, planes=planes):
-                    vy = vmin + t // nv
-                    vz = vmin + t % nv
-                    wxy = kx * _axis_k(win, diffdir == 1, vy,
-                                       sy).astype(cdt)
-                    w = wxy * _axis_k(win, diffdir == 2, vz,
-                                      sz).astype(cdt)
-                    return tuple(
-                        a + w * _shift2_dyn(p, vy, vz)
-                        for a, p in zip(accs, planes))
+                    def body(t, accs, kx=kx, kxd=kxd,
+                             plane=planes[0]):
+                        vy = vmin + t // nv
+                        vz = vmin + t % nv
+                        ky = _axis_k(win, False, vy, sy).astype(cdt)
+                        kyd = _axis_k(win, True, vy, sy).astype(cdt)
+                        kz = _axis_k(win, False, vz, sz).astype(cdt)
+                        kzd = _axis_k(win, True, vz, sz).astype(cdt)
+                        sp = _shift2_dyn(plane, vy, vz)
+                        return (accs[0] + (kxd * ky * kz) * sp,
+                                accs[1] + (kx * kyd * kz) * sp,
+                                accs[2] + (kx * ky * kzd) * sp)
+                else:
+                    kx = _axis_k(win, diffdir == 0, vx,
+                                 sx).astype(cdt)
+
+                    def body(t, accs, kx=kx, planes=planes):
+                        vy = vmin + t // nv
+                        vz = vmin + t % nv
+                        wxy = kx * _axis_k(win, diffdir == 1, vy,
+                                           sy).astype(cdt)
+                        w = wxy * _axis_k(win, diffdir == 2, vz,
+                                          sz).astype(cdt)
+                        return tuple(
+                            a + w * _shift2_dyn(p, vy, vz)
+                            for a, p in zip(accs, planes))
 
                 accs = list(jax.lax.fori_loop(0, nv * nv, body,
                                               tuple(accs)))
-            for m in range(nmesh):
+            for m in range(nout):
                 orefs[m][0] = accs[m].astype(dtype)
 
         in_specs = ([_plane_spec(N1, N2, disp_base)] * 3
@@ -253,17 +306,17 @@ def readout_fused_ext(meshes_ext, disp, vmin, vmax, window,
             grid=(nrows,),
             in_specs=in_specs,
             out_specs=tuple(_plane_spec(N1, N2, out_base)
-                            for _ in range(nmesh)),
+                            for _ in range(nout)),
             out_shape=tuple(jax.ShapeDtypeStruct((out_rows, N1, N2),
                                                  dtype)
-                            for _ in range(nmesh)),
+                            for _ in range(nout)),
             compiler_params=_params(),
             interpret=_interpret(),
         )(disp[0], disp[1], disp[2], *margs)
 
     cplane_bytes = N1 * N2 * np.dtype(_cdtype(dtype)).itemsize
     outs = None
-    for v0, v1 in _offset_chunks(vmin, vmax, nmesh, 3 + nmesh,
+    for v0, v1 in _offset_chunks(vmin, vmax, nmesh, 3 + nout,
                                  plane_bytes, cplane_bytes):
         part = chunk_call(v0, v1)
         outs = part if outs is None else tuple(

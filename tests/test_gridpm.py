@@ -258,3 +258,74 @@ def test_anisotropic_mesh_paths():
     trh = np.fft.rfftn(x) / x.size
     assert np.abs(np.asarray(rh) + 1j * np.asarray(ih) - trh).max() \
         < 1e-5 * np.abs(trh).max() + 1e-7
+
+
+def test_multi_diff_readout_fused():
+    """diffdir='all': the 3 derivative readouts of ONE mesh in a
+    single fused pallas pass (shared plane rolls — the gradient-mode
+    force family) match the per-direction readouts, in both kernel
+    branches (unrolled and fori) and sharded."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from pmesh_tpu.ops import gridpm as gp
+    from pmesh_tpu.ops import gridpm_pallas as gpp
+    from pmesh_tpu.parallel.pmesh import ProcessMesh
+
+    N = 32
+    rng = np.random.RandomState(3)
+    mesh = jnp.asarray(rng.normal(size=(N,) * 3), jnp.float32)
+    disp = tuple(jnp.asarray(rng.uniform(0, 1, (N,) * 3), jnp.float32)
+                 for _ in range(3))
+    ones = [gp.readout_grid(mesh, disp, bounds=(0., 1.), diffdir=d,
+                            impl='xla') for d in range(3)]
+
+    # fori branch (large chunks) and unrolled branch (1-offset chunks)
+    for budget in (72, 1):
+        old = gpp._REF_BUDGET_BYTES
+        gpp._REF_BUDGET_BYTES = budget * 1024 * 1024
+        try:
+            alls = gp.readout_grid(mesh, disp, bounds=(0., 1.),
+                                   diffdir='all', impl='pallas')
+        finally:
+            gpp._REF_BUDGET_BYTES = old
+        for d in range(3):
+            np.testing.assert_allclose(np.asarray(alls[d]),
+                                       np.asarray(ones[d]), atol=2e-6)
+
+    pm8 = ProcessMesh(jax.devices()[:8])
+    sh = NamedSharding(pm8.mesh, P('x', None, None))
+    msh = jax.device_put(mesh, sh)
+    dsh = tuple(jax.device_put(x, sh) for x in disp)
+    alls8 = gp.readout_grid(msh, dsh, bounds=(0., 1.), diffdir='all',
+                            impl='pallas', procmesh=pm8)
+    for d in range(3):
+        np.testing.assert_allclose(np.asarray(alls8[d]),
+                                   np.asarray(ones[d]), atol=2e-6)
+
+
+def test_gradient_mode_mxu_matches_xla():
+    """force_lattice(mode='gradient', fft='mxu'): the ct2 Poisson
+    potential (one x-pass + one zy-inverse) + fused diffdir='all'
+    readout matches the field-path gradient force; at non-ct sizes
+    the mxu request falls back to the field path exactly."""
+    from pmesh_tpu import ParticleMesh
+    from pmesh_tpu.models.fastpm import Solver
+    for N, tol in ((16, 0.0), (256, None)):
+        pm = ParticleMesh(Nmesh=[N] * 3, BoxSize=float(N), dtype='f4')
+        s = Solver(pm)
+        rng = np.random.RandomState(0)
+        disp = tuple(jnp.asarray(rng.uniform(0, 1, (N,) * 3),
+                                 jnp.float32) for _ in range(3))
+        Fx = s.force_lattice(disp, bounds=(0., 1.), mode='gradient',
+                             fft='xla')
+        Fm = s.force_lattice(disp, bounds=(0., 1.), mode='gradient',
+                             fft='mxu')
+        for d in range(3):
+            e = float(jnp.max(jnp.abs(Fm[d] - Fx[d])))
+            sc = float(jnp.max(jnp.abs(Fx[d])))
+            if tol == 0.0:
+                assert e == 0.0          # same (field) path exactly
+            else:
+                # d=0 runs through the chunk-permuted x storage with
+                # different f32 accumulation order: ~8e-5 max-rel
+                assert e / sc < 2e-4, (N, d, e / sc)
