@@ -62,11 +62,12 @@ def main():
             * jax.random.uniform(k, (N, N, N), dtype=jnp.float32)
             for k in ks)
 
-    def make_scan(nstep, fft, bounds):
+    def make_scan(nstep, fft, bounds, mode='spectral'):
         @jax.jit
         def run(disp):
             def step(S, _):
-                F = solver.force_lattice(S, bounds=bounds, fft=fft)
+                F = solver.force_lattice(S, bounds=bounds, fft=fft,
+                                         mode=mode)
                 S = tuple(s + 1e-6 * f for s, f in zip(S, F))
                 return S, None
             S, _ = jax.lax.scan(step, disp, None, length=nstep)
@@ -78,11 +79,11 @@ def main():
         # tunnel; force a device->host transfer of a reduction
         return float(jnp.sum(S[0][0, 0, :8]))
 
-    def measure(fft, bounds):
+    def measure(fft, bounds, mode='spectral'):
         disp = make_disp(jax.random.key(0), *bounds)
         n_short, n_long = 1, 6
-        run_short = make_scan(n_short, fft, bounds)
-        run_long = make_scan(n_long, fft, bounds)
+        run_short = make_scan(n_short, fft, bounds, mode)
+        run_long = make_scan(n_long, fft, bounds, mode)
         sync(run_short(disp))   # compile
         sync(run_long(disp))
         t0 = time.perf_counter()
@@ -96,6 +97,10 @@ def main():
     dt = measure('mxu', (0.0, 2.0))            # HEADLINE: f32-exact
     dt_bf16 = measure('mxu_bf16', (0.0, 2.0))
     dt_real = measure('mxu', (-2.0, 3.0))      # nv=6, late-time regime
+    # gradient-mode force (the reference QPM family): ONE Poisson
+    # inverse + fused 3-diff readout instead of 3 spectral inverses
+    # + 3 readouts — same f32-exact FFT kernels
+    dt_grad = measure('mxu', (0.0, 2.0), mode='gradient')
 
     # binned slot-lattice (general/clustered positions, ops/binned):
     # one KDK superstep (rebase_every=2) at 256^3 K=2 — the 512^3
@@ -172,6 +177,7 @@ def main():
                       "paint/readout + Cooley-Tukey MXU FFT "
                       "(split-Nyquist, folded force kernels)",
             "bf16_step_ms": round(dt_bf16, 3),
+            "gradient_mode_step_ms": round(dt_grad, 3),
             "realistic_nv6_step_ms": round(dt_real, 3),
             "binned_step_256^3_ms": round(dt_binned, 3),
             "binned_step_512^3_ms": (

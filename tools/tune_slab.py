@@ -312,6 +312,58 @@ def sweep_pipe(spec_dtype=None):
     bench("full per-chip compute chain (%s)" % tag, step, dispc)
 
 
+def sweep_pipe_grad(spec_dtype=None):
+    """gradient-mode per-chip chain: paint + zy-fwd + ONE x-inverse
+    (1/k^2 folded) + ONE zy-inverse (the potential) + the fused
+    3-diff readout (diffdir='all', shared plane rolls)."""
+    _, _, _, k = data()
+    ks = jax.random.split(k, 3)
+    dispc = tuple(0.05 + 1.9 * jax.random.uniform(
+        kk, (ROWS, N1, N2), dtype=jnp.float32) for kk in ks)
+    vmin, vmax = 0, 2
+    wz = fm._dft_half_np(N2, Zm)
+    wyf = fm._ct_fwd_mats_np(N1)
+    wxi = fm._ct_inv_mats_np(N1)
+    wyi = fm._ct_inv_mats_np(N1)
+    ABp = fm._irfft_mats_np(N2, Zm, nyquist_last=False)
+    k2t = (np.arange(N1, dtype=np.float32) + 1.0,
+           np.arange(ROWS, dtype=np.float32) + 1.0,
+           np.arange(Zm, dtype=np.float32) + 1.0)
+    sdt = spec_dtype or jnp.float32
+
+    def step(c):
+        disp = c
+        rho = gpp.paint_fused_parts(disp, 1.0, vmin, vmax, 'cic')
+        pr, pi, nq = fm._zy_fwd_ct2_call(rho, N2, Zm, wz, wyf, None,
+                                         out_dtype=sdt)
+        tr = jnp.swapaxes(pr, 0, 1)
+        ti = jnp.swapaxes(pi, 0, 1)
+        sr, si = fm._xct_call_multi(tr, ti, wxi, 1.0, None,
+                                    inverse=True, k2=k2t,
+                                    out_dtype=sdt)
+        sr = jnp.swapaxes(sr, 0, 1); si = jnp.swapaxes(si, 0, 1)
+        phi = fm._zy_inv_ct2_call(sr, si, wyi, ABp, N2, None)
+        return gpp.readout_fused_parts((phi,), disp, vmin, vmax,
+                                       'cic', diffdir='all')
+
+    tag = 'bf16 spectra' if spec_dtype else 'f32'
+    bench("gradient-mode per-chip chain (%s)" % tag, step, dispc)
+    # the fused 3-diff readout alone (vs 3 single-diff calls)
+    mesh = jax.random.normal(ks[0], (ROWS, N1, N2), jnp.float32)
+
+    def ro_all(c):
+        return gpp.readout_fused_parts((c[0],), c[1:], vmin, vmax,
+                                       'cic', diffdir='all')
+
+    def ro_sep(c):
+        return tuple(gpp.readout_fused_parts(
+            (c[0],), c[1:], vmin, vmax, 'cic', diffdir=d)[0]
+            for d in range(3))
+
+    bench("readout 3-diff fused", ro_all, (mesh,) + dispc)
+    bench("readout 3-diff separate", ro_sep, (mesh,) + dispc)
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else 'all'
     print("device:", jax.devices()[0], flush=True)
@@ -331,6 +383,8 @@ def main():
         sweep_pipe()
     if which in ('pipe_bf16', 'all'):
         sweep_pipe(spec_dtype=jnp.bfloat16)
+    if which in ('pipe_grad', 'all'):
+        sweep_pipe_grad()
 
 
 if __name__ == '__main__':
