@@ -33,7 +33,7 @@ def run_sim(nmesh=64, boxsize=256.0, boost=2, resampler='tsc',
             unitary=True, compat='native', dtype='f8',
             snapshot_times=(), output=None, monitor_print=True,
             procmesh=None, lattice=False, fft='xla',
-            snapshot_format='bigfile'):
+            force_mode='spectral', snapshot_format='bigfile'):
     """Run the full IC -> N-body -> P(k) pipeline; returns the final
     state and the list of measured spectra.
 
@@ -58,7 +58,7 @@ def run_sim(nmesh=64, boxsize=256.0, boost=2, resampler='tsc',
     if lattice:
         return _run_lattice(pm, solver, dlin, ainit, afinal, steps,
                             order, snapshot_times, output,
-                            monitor_print, fft)
+                            monitor_print, fft, force_mode)
     state = solver.lpt(dlin, a0=ainit, order=order, shift=0.0)
 
     time_steps = np.linspace(ainit, afinal, steps, endpoint=True)
@@ -99,7 +99,8 @@ def run_sim(nmesh=64, boxsize=256.0, boost=2, resampler='tsc',
 
 
 def _run_lattice(pm, solver, dlin, ainit, afinal, steps, order,
-                 snapshot_times, output, monitor_print, fft='xla'):
+                 snapshot_times, output, monitor_print, fft='xla',
+                 force_mode='spectral'):
     """The lattice-form run: mesh-shaped SoA state, shift-sum
     paint/readout, snapshots via segmented nbody_lattice calls."""
     import jax
@@ -153,6 +154,7 @@ def _run_lattice(pm, solver, dlin, ainit, afinal, steps, order,
         seg = sorted(set([a0] + seg + [am]))
         if len(seg) >= 2:
             disp, vel = solver.nbody_lattice(disp, vel, seg, bounds,
+                                             force_mode=force_mode,
                                              fft=fft)
         measure(am, disp)
         a0 = am
@@ -245,6 +247,11 @@ def main(argv=None):
     ap.add_argument("--fft", type=str, default='xla',
                     choices=['xla', 'mxu', 'mxu_bf16', 'mxu_bf16s'],
                     help="transform backend for the lattice force")
+    ap.add_argument("--force-mode", type=str, default='spectral',
+                    choices=['spectral', 'gradient'],
+                    help="force family: 3 spectral inverses, or one "
+                         "Poisson inverse + derivative-window "
+                         "readouts (the QPM route)")
     ap.add_argument("--format", type=str, default='bigfile',
                     choices=['bigfile', 'npz'],
                     help="snapshot container format")
@@ -256,7 +263,8 @@ def main(argv=None):
         afinal=ns.afinal, steps=ns.steps, order=ns.order,
         compat=ns.compat, dtype=ns.dtype,
         snapshot_times=ns.snapshot_times, output=ns.output,
-        lattice=ns.lattice, fft=ns.fft, snapshot_format=ns.format)
+        lattice=ns.lattice, fft=ns.fft, force_mode=ns.force_mode,
+        snapshot_format=ns.format)
     return state, spectra
 
 
