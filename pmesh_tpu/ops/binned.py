@@ -226,17 +226,28 @@ def paint_binned(dslots, valid, bounds=(0.0, 1.0), window='cic',
 
 
 def readout_binned(meshes, dslots, valid, bounds=(0.0, 1.0),
-                   window='cic', impl=None, procmesh=None):
+                   window='cic', impl=None, procmesh=None,
+                   diffdir=None):
     """per-slot readouts of one or more meshes; returns, per slot,
     the tuple of per-mesh value fields (invalid slots read garbage —
-    mask with ``valid`` before use, as the integrators do)."""
+    mask with ``valid`` before use, as the integrators do).
+
+    diffdir='all' reads ONE mesh with the 3 derivative windows in a
+    fused pass per slot (the gradient-mode force; always returns a
+    3-tuple per slot)."""
     single = not isinstance(meshes, (tuple, list))
     ms = (meshes,) if single else tuple(meshes)
     outs = []
     for dk in dslots:
+        if diffdir == 'all':
+            vals = _gp.readout_grid(ms[0], tuple(dk), bounds=bounds,
+                                    window=window, impl=impl,
+                                    procmesh=procmesh, diffdir='all')
+            outs.append(vals)
+            continue
         vals = _gp.readout_grid(ms, tuple(dk), bounds=bounds,
                                 window=window, impl=impl,
-                                procmesh=procmesh)
+                                procmesh=procmesh, diffdir=diffdir)
         outs.append(vals[0] if single else vals)
     return tuple(outs)
 

@@ -258,3 +258,27 @@ def test_rebase_pallas_x_direction():
         v1 = np.asarray(nv[1])
         assert np.argwhere(v1 > 0).tolist() == [[4, 4, 5]], impl
         assert abs(float(np.asarray(nd[1][0])[4, 4, 5]) - 0.3) < 1e-6
+
+
+def test_force_binned_gradient_mode():
+    """force_binned(mode='gradient'): ONE Poisson inverse + fused
+    3-derivative readout per slot.  A fresh from_lattice state (slot
+    0 = the lattice) must match force_lattice(mode='gradient')
+    exactly — same potential, same diff windows."""
+    from pmesh_tpu import ParticleMesh
+    from pmesh_tpu.models.fastpm import Solver
+    from pmesh_tpu.ops import binned as bn
+    N = 16
+    pm = ParticleMesh(Nmesh=[N] * 3, BoxSize=float(N), dtype='f4')
+    s = Solver(pm)
+    rng = np.random.RandomState(0)
+    disp = tuple(jnp.asarray(rng.uniform(0.05, 0.95, (N,) * 3),
+                             jnp.float32) for _ in range(3))
+    dsl, valid = bn.from_lattice(disp, nslots=2)
+    Fg = s.force_binned(dsl, valid, (-0.5, 1.5), fft='xla',
+                        mode='gradient')
+    Fl = s.force_lattice(disp, bounds=(-0.5, 1.5), mode='gradient',
+                         fft='xla')
+    for d in range(3):
+        np.testing.assert_array_equal(np.asarray(Fg[0][d]),
+                                      np.asarray(Fl[d]))
