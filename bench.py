@@ -101,6 +101,10 @@ def main():
     # inverse + fused 3-diff readout instead of 3 spectral inverses
     # + 3 readouts — same f32-exact FFT kernels
     dt_grad = measure('mxu', (0.0, 2.0), mode='gradient')
+    # late-time regime (nv=6) in gradient mode: 1 fused 3-diff
+    # readout instead of 3 readouts — the 216-pass stencils are the
+    # whole cost there
+    dt_real_grad = measure('mxu', (-2.0, 3.0), mode='gradient')
 
     # binned slot-lattice (general/clustered positions, ops/binned):
     # one KDK superstep (rebase_every=2) at 256^3 K=2 — the 512^3
@@ -179,6 +183,7 @@ def main():
             "bf16_step_ms": round(dt_bf16, 3),
             "gradient_mode_step_ms": round(dt_grad, 3),
             "realistic_nv6_step_ms": round(dt_real, 3),
+            "realistic_nv6_gradient_step_ms": round(dt_real_grad, 3),
             "binned_step_256^3_ms": round(dt_binned, 3),
             "binned_step_512^3_ms": (
                 round(dt_binned512, 3)

@@ -227,6 +227,11 @@ def _paint_impl(mesh, pos, mass, hsml, geom):
         # big stencils (lanczos/acg/wavelets): fori_loop over offsets,
         # one scatter per stencil point
         kstack = [jnp.stack(kd) for kd in kvals]      # ndim x (S, N)
+        # under shard_map the carry must carry the same varying axes
+        # as the body output (which inherits them from pos/mass);
+        # tie the initial mesh to a varying scalar so the fori types
+        # match on replicated-mesh + sharded-particle calls
+        flat_mesh = flat_mesh + (0 * pos[0, 0]).astype(flat_mesh.dtype)
 
         size = int(np.prod(geom.shape, dtype=np.int64))
 
@@ -335,7 +340,12 @@ def _readout_impl(mesh, pos, hsml, geom):
                    for a, fm in zip(acc, flat_meshes)]
             return tuple(new)
 
-        init = tuple(jnp.zeros((N,), dtype=pos.dtype)
+        # tie to a mesh element too: under shard_map the body output
+        # carries the union of pos/mesh varying axes and the carry
+        # types must match (see _paint_impl's fori note)
+        tie = (0 * pos[0, 0]).astype(pos.dtype) \
+            + (0 * flat_meshes[0][0]).astype(pos.dtype)
+        init = tuple(jnp.zeros((N,), dtype=pos.dtype) + tie
                      for _ in flat_meshes)
         outs = jax.lax.fori_loop(0, npoints, body, init)
         if istuple:

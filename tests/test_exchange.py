@@ -316,3 +316,28 @@ def test_exchange_under_scan(pmesh8):
     X2, sums = run(X)
     assert np.isfinite(np.asarray(sums)).all()
     assert np.isfinite(np.asarray(X2)).all()
+
+
+def test_sharded_paint_deep_window_kside3(pmesh8):
+    """kside > 2: a lanczos3 window (support 6 -> smoothing 3) on
+    2-row slabs needs ghosts 3 slabs out (kside = ceil(3/2)+1 = 3).
+    Multi-channel ppermute routing at depth was previously untested
+    (round-2 verdict weak item 9)."""
+    N = 16
+    pm1 = ParticleMesh(Nmesh=[N] * 3, BoxSize=float(N), dtype='f8',
+                       resampler='lanczos3')
+    pm8 = ParticleMesh(Nmesh=[N] * 3, BoxSize=float(N), dtype='f8',
+                       resampler='lanczos3', procmesh=pmesh8)
+    rng = np.random.RandomState(8)
+    X = pm8.reshard_particles(jnp.asarray(rng.uniform(0, N,
+                                                      (4096, 3))))
+    lay = pm8.decompose(X)
+    assert lay.kside >= 3
+    rho8 = pm8.paint(X, layout=lay)
+    rho1 = pm1.paint(np.asarray(X))
+    assert_allclose(np.asarray(rho8.value), np.asarray(rho1.value),
+                    atol=1e-12)
+    # readout back through the same deep plan
+    v8 = np.asarray(rho8.readout(X, layout=lay))
+    v1 = np.asarray(rho1.readout(np.asarray(X)))
+    assert_allclose(v8, v1, atol=1e-12)
