@@ -74,6 +74,10 @@ def _shift2_dyn(x, vy, vz):
 
 # offset volumes above this use the fori_loop kernel form
 _UNROLL_LIMIT = 80
+# the multi-diff (diffdir='all') kernel keeps 3 accumulators + one
+# mesh plane live — its unroll budget is tuned separately (the
+# production 27-offset chunk sits right at the shared limit)
+_UNROLL_LIMIT_MULTI = 80
 
 
 def _cdtype(dtype):
@@ -195,7 +199,9 @@ def readout_fused_ext(meshes_ext, disp, vmin, vmax, window,
         # offset rolls nmesh planes and feeds nout accumulators):
         # 3-mesh 1024-plane chunks above the limit crash the Mosaic
         # register allocator
-        unroll = cnv * nv * nv * max(nmesh, nout) <= _UNROLL_LIMIT
+        unroll = (cnv * nv * nv * max(nmesh, nout)
+                  <= (_UNROLL_LIMIT_MULTI if multi
+                      else _UNROLL_LIMIT))
 
         cdt = _cdtype(dtype)
 

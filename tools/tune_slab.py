@@ -385,7 +385,29 @@ def main():
         sweep_pipe(spec_dtype=jnp.bfloat16)
     if which in ('pipe_grad', 'all'):
         sweep_pipe_grad()
+    if which in ('multi_unroll', 'all'):
+        sweep_multi_unroll()
 
 
 if __name__ == '__main__':
     main()
+
+
+def sweep_multi_unroll():
+    """fused 3-diff readout: fori vs unrolled body at the production
+    27-offset chunk (the shared 80-offset limit keeps it fori)."""
+    _, _, _, k = data()
+    ks = jax.random.split(k, 4)
+    dispc = tuple(0.05 + 1.9 * jax.random.uniform(
+        kk, (ROWS, N1, N2), dtype=jnp.float32) for kk in ks[:3])
+    mesh = jax.random.normal(ks[3], (ROWS, N1, N2), jnp.float32)
+
+    def ro_all(c):
+        return gpp.readout_fused_parts((c[0],), c[1:], 0, 2, 'cic',
+                                       diffdir='all')
+
+    for lim in (80, 96, 128):
+        gpp._UNROLL_LIMIT_MULTI = lim
+        bench("3-diff fused UNROLL_MULTI=%d" % lim, ro_all,
+              (mesh,) + dispc)
+    gpp._UNROLL_LIMIT_MULTI = 80
