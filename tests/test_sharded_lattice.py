@@ -228,3 +228,27 @@ def test_sharded_ct2_bf16_spectra(pmesh8):
         # sharded bf16s == single-device bf16s (same storage
         # rounding on both sides): tight
         assert_allclose(np.asarray(c), np.asarray(a), atol=s * 1e-5)
+
+
+def test_sharded_gradient_mode_mxu(pmesh8):
+    """mode='gradient' fft='mxu' on the device mesh: the sharded
+    Poisson ct2 potential (fft3_poisson_half_ct2_sharded) + the
+    sharded fused 3-derivative readout must match single-device."""
+    from pmesh_tpu import ParticleMesh
+    from pmesh_tpu.models.fastpm import Solver
+    N = 256
+    rng = np.random.RandomState(9)
+    disp = tuple(jnp.asarray(rng.uniform(0, 1.0, (N, N, N)),
+                             jnp.float32) for _ in range(3))
+    pm1 = ParticleMesh(Nmesh=[N] * 3, BoxSize=float(N), dtype='f4')
+    F1 = Solver(pm1).force_lattice(disp, bounds=(0., 1.),
+                                   mode='gradient', fft='mxu')
+    pm8 = ParticleMesh(Nmesh=[N] * 3, BoxSize=float(N), dtype='f4',
+                       procmesh=pmesh8)
+    dsh = tuple(_sharded(pmesh8, d) for d in disp)
+    F8 = Solver(pm8).force_lattice(dsh, bounds=(0., 1.),
+                                   mode='gradient', fft='mxu')
+    for a, b in zip(F8, F1):
+        s = float(jnp.max(jnp.abs(b)))
+        assert float(jnp.max(jnp.abs(a - b))) / s < 1e-5
+        assert a.sharding.spec[0] == 'x'
