@@ -12,7 +12,14 @@ per transform direction, no padding of the hermitian-compressed axis,
 and its transposes ride ICI as one large fused collective — the right
 trade for pods up to Nmesh devices.  (The reference defaults to a 2-d
 pencil because MPI rank counts routinely exceed Nmesh; TPU pod sizes
-do not.)
+rarely do.)
+
+For device counts beyond Nmesh[0] a 2-d (npx, npy) grid is supported
+(``shape=(npx, npy)``): fields carry true pencil NamedShardings
+— real P('x', 'y', None), complex-transposed P('y', 'x', None) —
+and execution goes through the GSPMD-global code path (XLA inserts
+the pencil collectives from the sharding constraints; the hand-written
+shard_map/pallas fast path stays 1-d).
 """
 import numpy as np
 import jax
@@ -22,21 +29,49 @@ __all__ = ["ProcessMesh"]
 
 
 class ProcessMesh(object):
-    """A 1-d slab decomposition over a jax device mesh.
+    """A slab (1-d) or pencil (2-d) decomposition over a jax device
+    mesh.
 
     Parameters
     ----------
     devices : list of jax devices, or None for all.
     axis : str
-        mesh axis name, default 'x'.
+        first mesh axis name, default 'x'.
+    shape : None or (npx, npy)
+        None (default) builds the 1-d slab grid over all devices;
+        a 2-tuple builds the (npx, npy) pencil grid (the pfft
+        ProcMesh analog, reference pm.py:1319-1327).
+    axes : (str, str)
+        axis names for the 2-d grid.
     """
 
-    def __init__(self, devices=None, axis='x'):
+    def __init__(self, devices=None, axis='x', shape=None,
+                 axes=('x', 'y')):
         if devices is None:
             devices = jax.devices()
         self.devices = tuple(devices)
-        self.axis = axis
-        self.mesh = Mesh(np.array(self.devices), (axis,))
+        if shape is None:
+            self.axis = axis
+            self.axes = (axis,)
+            self.grid = (len(self.devices),)
+            self.mesh = Mesh(np.array(self.devices), (axis,))
+        else:
+            shape = tuple(int(s) for s in shape)
+            if len(shape) != 2 or int(np.prod(shape)) != len(
+                    self.devices):
+                raise ValueError(
+                    "shape must be (npx, npy) with npx*npy == "
+                    "len(devices); got %r for %d devices"
+                    % (shape, len(self.devices)))
+            self.axes = tuple(axes)
+            self.axis = self.axes[0]
+            self.grid = shape
+            self.mesh = Mesh(
+                np.array(self.devices).reshape(shape), self.axes)
+
+    @property
+    def is2d(self):
+        return len(self.grid) == 2
 
     @property
     def size(self):
@@ -44,10 +79,11 @@ class ProcessMesh(object):
 
     @property
     def shape(self):
-        return (len(self.devices),)
+        return self.grid
 
     def _key(self):
-        return (tuple(d.id for d in self.devices), self.axis)
+        return (tuple(d.id for d in self.devices), self.axes,
+                self.grid)
 
     def __eq__(self, other):
         return (isinstance(other, ProcessMesh)
@@ -58,18 +94,26 @@ class ProcessMesh(object):
 
     # --- shardings for the field layouts ---
     def real_spec(self, ndim):
-        """RealField: slab over the first axis."""
+        """RealField: slab over the first axis (1-d grid) or pencil
+        over the first two axes (2-d grid)."""
+        if self.is2d:
+            return P(self.axes[0], self.axes[1],
+                     *([None] * (ndim - 2)))
         return P(self.axis, *([None] * (ndim - 1)))
 
     def transposed_spec(self, ndim):
-        """TransposedComplexField: the post-FFT layout — first axis
-        full, second axis sharded (the pfft TRANSPOSED_OUT analog)."""
+        """TransposedComplexField: the post-FFT layout — the
+        distributed axes swap roles so the compressed last axis stays
+        whole (the pfft TRANSPOSED_OUT analog)."""
         if ndim < 2:
             return P(*([None] * ndim))
+        if self.is2d:
+            return P(self.axes[1], self.axes[0],
+                     *([None] * (ndim - 2)))
         return P(None, self.axis, *([None] * (ndim - 2)))
 
     def untransposed_spec(self, ndim):
-        """UntransposedComplexField: same slab layout as RealField."""
+        """UntransposedComplexField: same layout as RealField."""
         return self.real_spec(ndim)
 
     def replicated_sharding(self, ndim):

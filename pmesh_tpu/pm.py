@@ -873,6 +873,7 @@ class ParticleMesh(object):
         self.plan_method = plan_method
 
         self._even_mesh = True
+        self._pencil2d = False
         if self.procmesh is not None and self.procmesh.size > 1:
             D = self.procmesh.size
             if self.ndim < 2:
@@ -880,13 +881,26 @@ class ParticleMesh(object):
                     "distributed 1-d meshes are not supported (the "
                     "reference is also single-rank there, "
                     "pm.py:1316-1317); drop procmesh")
-            # the fast shard_map paths need equal blocks; a mesh that
-            # does not divide (legal in the reference via uneven pfft
-            # edges, pm.py:1319-1327) falls back to GSPMD-global
-            # execution — correct at any size, efficient only for the
-            # small meshes where non-divisibility actually occurs
-            self._even_mesh = all(int(self.Nmesh[d]) % D == 0
-                                  for d in (0, 1))
+            if getattr(self.procmesh, 'is2d', False):
+                # 2-d (npx, npy) pencil grid (reference
+                # pm.py:1319-1327): fields carry pencil shardings and
+                # execution is GSPMD-global (XLA inserts the pencil
+                # collectives); the hand-written shard_map fast paths
+                # stay 1-d, so _even_mesh is False here by design
+                self._even_mesh = False
+                npx, npy = self.procmesh.grid
+                self._pencil2d = all(
+                    int(self.Nmesh[d]) % s == 0
+                    for d in (0, 1) for s in (npx, npy))
+            else:
+                # the fast shard_map paths need equal blocks; a mesh
+                # that does not divide (legal in the reference via
+                # uneven pfft edges, pm.py:1319-1327) falls back to
+                # GSPMD-global execution — correct at any size,
+                # efficient only for the small meshes where
+                # non-divisibility actually occurs
+                self._even_mesh = all(int(self.Nmesh[d]) % D == 0
+                                      for d in (0, 1))
 
         if self.dtype in (_np.dtype('f8'), _np.dtype('f4')):
             self._is_c2c = False
@@ -930,7 +944,7 @@ class ParticleMesh(object):
         for single-device meshes."""
         if self.procmesh is None or self.procmesh.size <= 1:
             return None
-        if not self._even_mesh:
+        if not self._even_mesh and not self._pencil2d:
             # uneven extents: jax rejects uneven block NamedShardings,
             # so non-divisible meshes live replicated on the process
             # mesh (reference: uneven pfft edges, pm.py:1319-1327)
@@ -965,11 +979,15 @@ class ParticleMesh(object):
                 from .parallel import pfft as _pfft
                 return _pfft.r2c(self.procmesh, value,
                                  norm=1.0 / float(np.prod(self.Nmesh)))
-            # uneven mesh: GSPMD-global transform on the replicated
-            # layout (jax rejects uneven block NamedShardings)
+            # 2-d pencil grid or uneven mesh: GSPMD-global transform;
+            # the output constraint (transposed pencils, or
+            # replicated for non-divisible extents) tells XLA where
+            # to land the collectives
             out = _fft.r2c(value, norm=1.0 / float(np.prod(self.Nmesh)))
-            return jax.lax.with_sharding_constraint(
-                out, self.procmesh.replicated_sharding(self.ndim))
+            sh = (self.procmesh.transposed_sharding(self.ndim)
+                  if self._pencil2d
+                  else self.procmesh.replicated_sharding(self.ndim))
+            return jax.lax.with_sharding_constraint(out, sh)
         return _fft.r2c(value, norm=1.0 / float(np.prod(self.Nmesh)))
 
     def _c2r_value(self, value):
@@ -981,8 +999,10 @@ class ParticleMesh(object):
                                  norm=float(np.prod(self.Nmesh)))
             out = _fft.c2r(value, self.Nmesh, self._rtype,
                            norm=float(np.prod(self.Nmesh)))
-            return jax.lax.with_sharding_constraint(
-                out, self.procmesh.replicated_sharding(self.ndim))
+            sh = (self.procmesh.real_sharding(self.ndim)
+                  if self._pencil2d
+                  else self.procmesh.replicated_sharding(self.ndim))
+            return jax.lax.with_sharding_constraint(out, sh)
         return _fft.c2r(value, self.Nmesh, self._rtype,
                         norm=float(np.prod(self.Nmesh)))
 
@@ -1254,6 +1274,12 @@ class ParticleMesh(object):
                                    translate=transform.translate,
                                    period=transform.period,
                                    diffdir=gradient, hsml=hsml)
+        sh = self._sharding_for(RealField)
+        if sh is not None:
+            # pin the declared field layout at the op boundary — the
+            # GSPMD scatter otherwise picks its own output sharding
+            # (e.g. a slab on a 2-d pencil grid)
+            painted = jax.lax.with_sharding_constraint(painted, sh)
         out.value = painted.astype(out.dtype)
         return out
 

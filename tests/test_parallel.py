@@ -151,3 +151,40 @@ def test_sharded_resample_ravel_preview(pmesh8):
                     atol=0)
     assert_allclose(r8.preview(axes=[0, 1]), r1.preview(axes=[0, 1]),
                     atol=1e-12)
+
+
+def test_pencil2d_process_mesh(pmesh8):
+    """2-d (npx, npy) process grid (the reference's pfft.ProcMesh
+    default, pm.py:1319-1327): fields carry true pencil shardings
+    (real P('x','y'), transposed P('y','x')) and the full
+    paint -> r2c -> apply -> c2r -> readout pipeline runs through the
+    GSPMD-global path, matching single-device."""
+    from pmesh_tpu.parallel.pmesh import ProcessMesh
+    pm2d = ProcessMesh(jax.devices()[:8], shape=(4, 2))
+    assert pm2d.is2d and pm2d.shape == (4, 2)
+    N = 16
+    pm = ParticleMesh(BoxSize=float(N), Nmesh=[N] * 3, dtype='f8',
+                      procmesh=pm2d)
+    assert pm._pencil2d and not pm._even_mesh
+    pm1 = ParticleMesh(BoxSize=float(N), Nmesh=[N] * 3, dtype='f8')
+    rng = np.random.RandomState(4)
+    X = jnp.asarray(rng.uniform(0, N, (3000, 3)))
+    rho = pm.paint(X, layout=pm.decompose(X))
+    rho1 = pm1.paint(np.asarray(X))
+    assert_allclose(np.asarray(rho.value), np.asarray(rho1.value),
+                    atol=1e-12)
+    # real pencils over both grid axes
+    assert rho.value.sharding.spec[:2] == ('x', 'y')
+    c = rho.r2c()
+    # transposed pencil layout: distributed axes swap
+    assert c.value.sharding.spec[:2] == ('y', 'x')
+    c1 = rho1.r2c()
+    assert_allclose(np.asarray(c.value), np.asarray(c1.value),
+                    atol=1e-12)
+    phi = c.apply(lambda k, v: v / k.normp(2, zeromode=1.0)).c2r()
+    phi1 = c1.apply(lambda k, v: v / k.normp(2, zeromode=1.0)).c2r()
+    assert_allclose(np.asarray(phi.value), np.asarray(phi1.value),
+                    atol=1e-12)
+    v = phi.readout(X)
+    v1 = phi1.readout(np.asarray(X))
+    assert_allclose(np.asarray(v), np.asarray(v1), atol=1e-12)
