@@ -979,15 +979,21 @@ class ParticleMesh(object):
                 from .parallel import pfft as _pfft
                 return _pfft.r2c(self.procmesh, value,
                                  norm=1.0 / float(np.prod(self.Nmesh)))
-            # 2-d pencil grid or uneven mesh: GSPMD-global transform;
-            # the output constraint (transposed pencils, or
-            # replicated for non-divisible extents) tells XLA where
-            # to land the collectives
+            if self._pencil2d:
+                # 2-d pencil grid: per-axis DFT matmuls — XLA
+                # partitions each contraction over the mesh (fft
+                # thunks RET_CHECK the partitioned layouts GSPMD
+                # assigns inside a fused step); the constraint lands
+                # the transposed pencil layout
+                out = _fft.r2c_matmul(
+                    value, norm=1.0 / float(np.prod(self.Nmesh)))
+                return jax.lax.with_sharding_constraint(
+                    out, self.procmesh.transposed_sharding(self.ndim))
+            # uneven mesh: GSPMD-global transform on the replicated
+            # layout (jax rejects uneven block NamedShardings)
             out = _fft.r2c(value, norm=1.0 / float(np.prod(self.Nmesh)))
-            sh = (self.procmesh.transposed_sharding(self.ndim)
-                  if self._pencil2d
-                  else self.procmesh.replicated_sharding(self.ndim))
-            return jax.lax.with_sharding_constraint(out, sh)
+            return jax.lax.with_sharding_constraint(
+                out, self.procmesh.replicated_sharding(self.ndim))
         return _fft.r2c(value, norm=1.0 / float(np.prod(self.Nmesh)))
 
     def _c2r_value(self, value):
@@ -997,12 +1003,15 @@ class ParticleMesh(object):
                 return _pfft.c2r(self.procmesh, value, self.Nmesh,
                                  self._rtype,
                                  norm=float(np.prod(self.Nmesh)))
+            if self._pencil2d:
+                out = _fft.c2r_matmul(value, self.Nmesh, self._rtype,
+                                      norm=float(np.prod(self.Nmesh)))
+                return jax.lax.with_sharding_constraint(
+                    out, self.procmesh.real_sharding(self.ndim))
             out = _fft.c2r(value, self.Nmesh, self._rtype,
                            norm=float(np.prod(self.Nmesh)))
-            sh = (self.procmesh.real_sharding(self.ndim)
-                  if self._pencil2d
-                  else self.procmesh.replicated_sharding(self.ndim))
-            return jax.lax.with_sharding_constraint(out, sh)
+            return jax.lax.with_sharding_constraint(
+                out, self.procmesh.replicated_sharding(self.ndim))
         return _fft.c2r(value, self.Nmesh, self._rtype,
                         norm=float(np.prod(self.Nmesh)))
 
