@@ -480,6 +480,27 @@ class Solver(object):
                                    and shape[1] % pmh.size == 0)))
         return shape, k2_np, kd, pmh, ct
 
+
+    def _potential_mesh(self, rho, fft):
+        """the (tf.poisson-signed) potential of a painted 1+delta
+        density: the ct2 MXU route when eligible (one x-pass + one
+        zy-inverse, fft_mxu.fft3_poisson_half_ct2), else the field
+        path — shared by the lattice and binned gradient-mode
+        forces."""
+        fpm = self.fpm
+        phi = None
+        if fft.startswith('mxu') and fpm.ndim == 3 \
+                and jnp.dtype(rho.dtype) == jnp.float32:
+            phi = self._mxu_potential(
+                rho, precision=('bf16' if fft == 'mxu_bf16'
+                                else None),
+                spectrum_dtype=(jnp.bfloat16 if fft == 'mxu_bf16s'
+                                else None))
+        if phi is None:
+            phi = fpm.create(type=RealField, value=rho).r2c() \
+                .apply(tf.poisson()).c2r().value
+        return phi
+
     def _mxu_potential(self, rho, precision=None,
                        spectrum_dtype=None):
         """differentiable Poisson potential via the MXU ct2 FFT —
@@ -671,19 +692,7 @@ class Solver(object):
             # F_d = -d(phi)/dx_d; the diffdir readout returns the
             # derivative of the interpolation w.r.t. position in cell
             # units (see gridpm.readout_grid), so F_d = -readout_d/cell
-            phi = None
-            if fft.startswith('mxu') and fpm.ndim == 3 \
-                    and jnp.dtype(rho.dtype) == jnp.float32:
-                # ONE x-pass + ONE zy-inverse for the potential
-                # (ct2 sizes; returns None otherwise -> field path)
-                phi = self._mxu_potential(
-                    rho, precision=('bf16' if fft == 'mxu_bf16'
-                                    else None),
-                    spectrum_dtype=(jnp.bfloat16
-                                    if fft == 'mxu_bf16s' else None))
-            if phi is None:
-                phi = fpm.create(type=RealField, value=rho).r2c() \
-                    .apply(tf.poisson()).c2r().value
+            phi = self._potential_mesh(rho, fft)
             if fpm.ndim == 3:
                 # one fused pass: 3 derivative readouts sharing the
                 # plane rolls (diffdir='all')
@@ -754,17 +763,7 @@ class Solver(object):
         rho = rho * (float(fpm.Nmesh.prod()) / ntot)
         if mode == 'gradient':
             cell = float(fpm.BoxSize[0] / fpm.Nmesh[0])
-            phi = None
-            if fft.startswith('mxu') and fpm.ndim == 3 \
-                    and jnp.dtype(rho.dtype) == jnp.float32:
-                phi = self._mxu_potential(
-                    rho, precision=('bf16' if fft == 'mxu_bf16'
-                                    else None),
-                    spectrum_dtype=(jnp.bfloat16
-                                    if fft == 'mxu_bf16s' else None))
-            if phi is None:
-                phi = fpm.create(type=RealField, value=rho).r2c() \
-                    .apply(tf.poisson()).c2r().value
+            phi = self._potential_mesh(rho, fft)
             vals = _bn.readout_binned(phi, dslots, valid,
                                       bounds=bounds, window=kind,
                                       procmesh=pmh, diffdir='all')

@@ -47,6 +47,11 @@ def run_sim(nmesh=64, boxsize=256.0, boost=2, resampler='tsc',
     if lattice and boost != 1:
         raise ValueError("lattice=True requires boost=1 (the force "
                          "mesh must equal the particle lattice)")
+    if force_mode != 'spectral' and not lattice:
+        raise ValueError(
+            "force_mode=%r is only wired on the lattice path; the "
+            "boosted/catalog path uses the spectral force family "
+            "(add --lattice)" % (force_mode,))
     pm = ParticleMesh(BoxSize=boxsize, Nmesh=[nmesh] * 3,
                       resampler=resampler, dtype=dtype,
                       procmesh=procmesh)

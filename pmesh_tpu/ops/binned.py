@@ -237,6 +237,8 @@ def readout_binned(meshes, dslots, valid, bounds=(0.0, 1.0),
     3-tuple per slot)."""
     single = not isinstance(meshes, (tuple, list))
     ms = (meshes,) if single else tuple(meshes)
+    if diffdir == 'all' and len(ms) != 1:
+        raise ValueError("diffdir='all' takes exactly one mesh")
     outs = []
     for dk in dslots:
         if diffdir == 'all':

@@ -953,9 +953,9 @@ def fft3_real_inverse_grad3_half_ct2(r, i, nqr, nqi, n2, kvecs,
         the x-pass kernel (in-VMEM, from the 1-d tables) — no separate
         elementwise pass over the spectrum.
     only : None or 0/1/2 — compute just that force direction (one
-        x-pass + one zy-inverse); used by the custom-VJP backward of
-        :func:`fft3_spectral_force_ct2`, where each cotangent mesh
-        needs a single direction."""
+        x-pass + one zy-inverse); used by the linear_call backward of
+        ``Solver._mxu_force_meshes`` (models/fastpm.py), where each
+        cotangent mesh needs a single direction."""
     N0, N1, Zm = r.shape
     for d, n in ((0, N0), (1, N1)):
         if n % 2 == 0 and abs(kvecs[d][n // 2]) > 1e-12:
@@ -981,16 +981,9 @@ def fft3_real_inverse_grad3_half_ct2(r, i, nqr, nqi, n2, kvecs,
     if poisson_k2 is not None:
         # the (N0, N1) Nyquist plane is 1/Zm of the volume — filter it
         # here; the main spectrum's filter folds into the x kernel
-        k2p = (np.asarray(poisson_k2[0], np.float32)[:, None]
-               + np.asarray(poisson_k2[1], np.float32)[None, :]
-               + np.float32(poisson_k2[2][Zm]))
-        invk2p = jnp.asarray(np.where(k2p > 0, 1.0 / np.where(
-            k2p > 0, k2p, 1.0), 0.0))
+        invk2p, k2m = _poisson_tables(poisson_k2, N0, N1, Zm)
         nqr = nqr * invk2p
         nqi = nqi * invk2p
-        k2m = (_ct_table(N0, poisson_k2[0]).astype(np.float32),
-               _ct_table(N1, poisson_k2[1]).astype(np.float32),
-               np.asarray(poisson_k2[2][:Zm], np.float32))
     px_r = -nqi * kx[:, None]
     px_i = nqr * kx[:, None]
     py_r = -nqi * ky[None, :]
@@ -1040,6 +1033,22 @@ def fft3_real_inverse_grad3_half_ct2(r, i, nqr, nqi, n2, kvecs,
     return fx, fy, fz
 
 
+
+def _poisson_tables(poisson_k2, N0, N1, Zm):
+    """shared 1/k^2 machinery of the ct2 inverse entry points: the
+    DC-zeroed inverse filter for the (N0, N1) Nyquist plane and the
+    storage-permuted 1-d tables folded into the x kernel."""
+    k2p = (np.asarray(poisson_k2[0], np.float32)[:, None]
+           + np.asarray(poisson_k2[1], np.float32)[None, :]
+           + np.float32(poisson_k2[2][Zm]))
+    invk2p = jnp.asarray(np.where(k2p > 0, 1.0 / np.where(
+        k2p > 0, k2p, 1.0), 0.0))
+    k2m = (_ct_table(N0, poisson_k2[0]).astype(np.float32),
+           _ct_table(N1, poisson_k2[1]).astype(np.float32),
+           np.asarray(poisson_k2[2][:Zm], np.float32))
+    return invk2p, k2m
+
+
 @functools.partial(jax.jit, static_argnames=('n2', 'precision',
                                              'poisson_k2'))
 def fft3_poisson_half_ct2(r, i, nqr, nqi, n2, poisson_k2,
@@ -1057,14 +1066,7 @@ def fft3_poisson_half_ct2(r, i, nqr, nqi, n2, poisson_k2,
     wx = _ct_inv_mats_np(N0)
     A_p, B_p = _irfft_mats_np(n2, Zm, nyquist_last=False)
     A_p, B_p = -A_p, -B_p
-    k2p = (np.asarray(poisson_k2[0], np.float32)[:, None]
-           + np.asarray(poisson_k2[1], np.float32)[None, :]
-           + np.float32(poisson_k2[2][Zm]))
-    invk2p = jnp.asarray(np.where(k2p > 0, 1.0 / np.where(
-        k2p > 0, k2p, 1.0), 0.0))
-    k2m = (_ct_table(N0, poisson_k2[0]).astype(np.float32),
-           _ct_table(N1, poisson_k2[1]).astype(np.float32),
-           np.asarray(poisson_k2[2][:Zm], np.float32))
+    invk2p, k2m = _poisson_tables(poisson_k2, N0, N1, Zm)
     # Nyquist-plane potential contribution: filtered plane, 2-d
     # inverse, real part; added onto the main block with (-1)^n
     plane = -_plane_fft2(nqr * invk2p, nqi * invk2p, N0, N1, +1,
@@ -1093,14 +1095,7 @@ def fft3_poisson_half_ct2_sharded(procmesh, r, i, nqr, nqi, n2,
     wx = _ct_inv_mats_np(N0)
     A_p, B_p = _irfft_mats_np(n2, Zm, nyquist_last=False)
     A_p, B_p = -A_p, -B_p
-    k2p = (np.asarray(poisson_k2[0], np.float32)[:, None]
-           + np.asarray(poisson_k2[1], np.float32)[None, :]
-           + np.float32(poisson_k2[2][Zm]))
-    invk2p = jnp.asarray(np.where(k2p > 0, 1.0 / np.where(
-        k2p > 0, k2p, 1.0), 0.0))
-    k2m = (_ct_table(N0, poisson_k2[0]).astype(np.float32),
-           _ct_table(N1, poisson_k2[1]).astype(np.float32),
-           np.asarray(poisson_k2[2][:Zm], np.float32))
+    invk2p, k2m = _poisson_tables(poisson_k2, N0, N1, Zm)
     plane = -_plane_fft2(nqr * invk2p, nqi * invk2p, N0, N1, +1,
                          prec)[0]
     sdt = r.dtype if r.dtype.itemsize < 4 else jnp.float32
@@ -1227,16 +1222,9 @@ def fft3_real_inverse_grad3_half_ct2_sharded(procmesh, r, i, nqr,
     ky = np.asarray(kvecs[1], np.float32)
     k2m = None
     if poisson_k2 is not None:
-        k2p = (np.asarray(poisson_k2[0], np.float32)[:, None]
-               + np.asarray(poisson_k2[1], np.float32)[None, :]
-               + np.float32(poisson_k2[2][Zm]))
-        invk2p = jnp.asarray(np.where(k2p > 0, 1.0 / np.where(
-            k2p > 0, k2p, 1.0), 0.0))
+        invk2p, k2m = _poisson_tables(poisson_k2, N0, N1, Zm)
         nqr = nqr * invk2p
         nqi = nqi * invk2p
-        k2m = (_ct_table(N0, poisson_k2[0]).astype(np.float32),
-               _ct_table(N1, poisson_k2[1]).astype(np.float32),
-               np.asarray(poisson_k2[2][:Zm], np.float32))
     zero_pl = jnp.zeros((N0, N1), jnp.float32)
     plane_x = plane_y = zero_pl
     if only in (None, 0):

@@ -385,12 +385,12 @@ def main():
         sweep_pipe(spec_dtype=jnp.bfloat16)
     if which in ('pipe_grad', 'all'):
         sweep_pipe_grad()
+    if which in ('pipe_grad_bf16', 'all'):
+        sweep_pipe_grad(spec_dtype=jnp.bfloat16)
     if which in ('multi_unroll', 'all'):
         sweep_multi_unroll()
 
 
-if __name__ == '__main__':
-    main()
 
 
 def sweep_multi_unroll():
@@ -411,3 +411,6 @@ def sweep_multi_unroll():
         bench("3-diff fused UNROLL_MULTI=%d" % lim, ro_all,
               (mesh,) + dispc)
     gpp._UNROLL_LIMIT_MULTI = 80
+
+if __name__ == '__main__':
+    main()
