@@ -188,3 +188,14 @@ def test_pencil2d_process_mesh(pmesh8):
     v = phi.readout(X)
     v1 = phi1.readout(np.asarray(X))
     assert_allclose(np.asarray(v), np.asarray(v1), atol=1e-12)
+    # whitenoise + P(k) on the pencil grid
+    from pmesh_tpu.ops.power import measure_power
+    w = pm.generate_whitenoise(seed=3, unitary=True, type='complex',
+                               compat='native')
+    w1 = pm1.generate_whitenoise(seed=3, unitary=True,
+                                 type='complex', compat='native')
+    assert_allclose(np.asarray(w.value), np.asarray(w1.value), atol=0)
+    k2, p2, n2 = measure_power(w.c2r().r2c(), Nbins=4)
+    k1_, p1_, n1_ = measure_power(w1.c2r().r2c(), Nbins=4)
+    assert_allclose(np.asarray(p2), np.asarray(p1_), rtol=1e-10)
+    assert_allclose(np.asarray(n2), np.asarray(n1_), atol=0)
