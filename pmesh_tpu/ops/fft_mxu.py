@@ -37,9 +37,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fft3_real_forward", "fft3_real_inverse",
-           "fft3_real_inverse_grad3", "fft3_real_forward_half",
-           "fft3_real_inverse_grad3_half", "kvectors"]
+__all__ = ["fft3_real_forward_half", "fft3_real_inverse_grad3_half",
+           "fft3_real_forward_half_ct2",
+           "fft3_real_inverse_grad3_half_ct2",
+           "fft3_poisson_half_ct2",
+           "fft3_real_forward_half_ct2_sharded",
+           "fft3_real_inverse_grad3_half_ct2_sharded",
+           "fft3_poisson_half_ct2_sharded",
+           "fft3_real_forward_half_sharded",
+           "fft3_real_inverse_grad3_half_sharded", "kvectors"]
 
 # 'float32' = 3-pass bf16 matmuls, f32-exact results (6e-8 vs
 # jnp.fft); 'default' = single-pass bf16, ~1.7x faster at ~1.6e-4
