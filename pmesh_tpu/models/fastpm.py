@@ -264,7 +264,7 @@ class Solver(object):
         return State(Q, S, V)
 
     # --- force ---
-    def force(self, X, factor=None):
+    def force(self, X, factor=None, mode='spectral'):
         """PM gravity: paint -> r2c -> per-axis force kernel -> c2r ->
         readout (examples/nbody.py:199-218).  Jittable.
 
@@ -274,6 +274,11 @@ class Solver(object):
         paint and readout phases stops XLA from keeping the paint's
         index buffers alive across the FFT (2x liveness on 512^3
         meshes otherwise).
+
+        mode='gradient' uses the derivative-window family (one
+        Poisson c2r, readouts with the diff kernels — the reference
+        QPM route, qpm.py:82-109): a third of the inverse-FFT work,
+        slightly more small-scale force noise.
         """
         from ..ops import paint as _paint_ops
         fpm = self.fpm
@@ -284,6 +289,17 @@ class Solver(object):
         rhok = rho.r2c()
         if factor is None:
             factor = 1.5 * self.cosmology.Om0
+        if mode == 'gradient':
+            phi = rhok.apply(tf.poisson()).c2r()
+            Xb = jax.lax.optimization_barrier(X)
+            # gradient readouts return d/dpos in SIMULATION units
+            # (the vjp convention), so no cell factor here
+            vals = tuple(
+                -phi.readout(Xb, layout=layout, gradient=d)
+                for d in range(fpm.ndim))
+            return jnp.stack(vals, axis=-1) * factor
+        elif mode != 'spectral':
+            raise ValueError("mode must be 'spectral' or 'gradient'")
         meshes = tuple(
             rhok.apply(tf.force_transfer(d)).c2r().value
             for d in range(fpm.ndim))

@@ -132,3 +132,30 @@ def test_measure_power_flat_for_whitenoise():
     vol = 16.0 ** 3
     # <|delta_k|^2> = 1 per mode: P = V
     assert_allclose(np.asarray(p)[1:], vol, rtol=0.3)
+
+
+def test_force_gradient_mode_matches_lattice():
+    """Solver.force(mode='gradient') — the reference QPM family on
+    the generic catalog path (one Poisson c2r + derivative-window
+    readouts, qpm.py:82-109) — matches force_lattice gradient mode
+    on a lattice-resident catalog."""
+    import jax
+    from pmesh_tpu import ParticleMesh
+    from pmesh_tpu.models.fastpm import Solver
+    N = 16
+    pm = ParticleMesh(Nmesh=[N] * 3, BoxSize=float(N), dtype='f4',
+                      resampler='cic')
+    s = Solver(pm)
+    rng = np.random.RandomState(0)
+    disp = tuple(jnp.asarray(rng.uniform(0.05, 0.95, (N,) * 3),
+                             jnp.float32) for _ in range(3))
+    Q = jnp.asarray(pm.generate_uniform_particle_grid(shift=0.0),
+                    jnp.float32)
+    X = Q + jnp.stack([d.ravel() for d in disp], -1)
+    Fg = jax.jit(lambda x: s.force(x, mode='gradient'))(X)
+    Fl = s.force_lattice(disp, bounds=(0., 1.), mode='gradient',
+                         fft='xla')
+    for d in range(3):
+        a = np.asarray(Fg[:, d]).reshape(N, N, N)
+        b = np.asarray(Fl[d])
+        assert np.abs(a - b).max() < 1e-6
