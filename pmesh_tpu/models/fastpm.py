@@ -967,10 +967,11 @@ class Solver(object):
 
     # --- time integration ---
     def nbody(self, state, time_steps, factors='fastpm', scheme='symp2',
-              monitor=None):
+              monitor=None, force_mode='spectral'):
         """Run the KDK loop.  With monitor=None the whole loop is one
         jitted lax.scan; a monitor callback forces per-step python
-        stepping (for snapshots/logging)."""
+        stepping (for snapshots/logging).  force_mode: 'spectral' or
+        'gradient' (see :meth:`force`)."""
         fac = _FACTORS[factors](self.cosmology) \
             if isinstance(factors, str) else factors
         K1, D1s, K2 = leapfrog_factors(time_steps, fac, scheme)
@@ -990,7 +991,7 @@ class Solver(object):
             if not isinstance(state.Q, _core.Tracer):
                 self.tune_exchange(state.X)
 
-        force = self.force
+        force = functools.partial(self.force, mode=force_mode)
 
         def step(carry, coeffs):
             S, V, F = carry
