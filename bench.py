@@ -94,17 +94,27 @@ def main():
         t_long = time.perf_counter() - t0
         return (t_long - t_short) / (n_long - n_short) * 1000.0
 
+    def guarded(fn, *a, **kw):
+        # every non-headline number is best-effort: a compile abort
+        # or OOM in ONE extra must not lose the whole bench record
+        try:
+            return round(fn(*a, **kw), 3)
+        except Exception as e:
+            return "failed: %s" % str(e)[:80]
+
     dt = measure('mxu', (0.0, 2.0))            # HEADLINE: f32-exact
-    dt_bf16 = measure('mxu_bf16', (0.0, 2.0))
-    dt_real = measure('mxu', (-2.0, 3.0))      # nv=6, late-time regime
+    dt_bf16 = guarded(measure, 'mxu_bf16', (0.0, 2.0))
+    # nv=6, late-time regime
+    dt_real = guarded(measure, 'mxu', (-2.0, 3.0))
     # gradient-mode force (the reference QPM family): ONE Poisson
     # inverse + fused 3-diff readout instead of 3 spectral inverses
     # + 3 readouts — same f32-exact FFT kernels
-    dt_grad = measure('mxu', (0.0, 2.0), mode='gradient')
+    dt_grad = guarded(measure, 'mxu', (0.0, 2.0), mode='gradient')
     # late-time regime (nv=6) in gradient mode: 1 fused 3-diff
     # readout instead of 3 readouts — the 216-pass stencils are the
     # whole cost there
-    dt_real_grad = measure('mxu', (-2.0, 3.0), mode='gradient')
+    dt_real_grad = guarded(measure, 'mxu', (-2.0, 3.0),
+                           mode='gradient')
 
     # binned slot-lattice (general/clustered positions, ops/binned):
     # one KDK superstep (rebase_every=2) at 256^3 K=2 — the 512^3
@@ -162,11 +172,8 @@ def main():
         # per KDK step (2 steps + 1 rebase per superstep)
         return (time.perf_counter() - t0) / reps / 2 * 1000.0
 
-    dt_binned = measure_binned(256)
-    try:
-        dt_binned512 = measure_binned(512)
-    except Exception as e:
-        dt_binned512 = "failed: %s" % str(e)[:80]
+    dt_binned = guarded(measure_binned, 256)
+    dt_binned512 = guarded(measure_binned, 512)
 
     mp_per_s = (N ** 3 / 1e6) / (dt / 1000.0)
     result = {
@@ -180,14 +187,12 @@ def main():
                       "(6e-8 vs jnp.fft): lattice shift-sum pallas "
                       "paint/readout + Cooley-Tukey MXU FFT "
                       "(split-Nyquist, folded force kernels)",
-            "bf16_step_ms": round(dt_bf16, 3),
-            "gradient_mode_step_ms": round(dt_grad, 3),
-            "realistic_nv6_step_ms": round(dt_real, 3),
-            "realistic_nv6_gradient_step_ms": round(dt_real_grad, 3),
-            "binned_step_256^3_ms": round(dt_binned, 3),
-            "binned_step_512^3_ms": (
-                round(dt_binned512, 3)
-                if isinstance(dt_binned512, float) else dt_binned512),
+            "bf16_step_ms": dt_bf16,
+            "gradient_mode_step_ms": dt_grad,
+            "realistic_nv6_step_ms": dt_real,
+            "realistic_nv6_gradient_step_ms": dt_real_grad,
+            "binned_step_256^3_ms": dt_binned,
+            "binned_step_512^3_ms": dt_binned512,
             # PROJECTED, not measured: per-chip slab kernels timed on
             # one chip (chain-differenced; tools/tune_slab.py 'pipe')
             # + stated a2a assumptions; see PLAN.md round-3 table
