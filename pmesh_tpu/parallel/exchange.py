@@ -54,6 +54,50 @@ def _channels(kside):
     return out
 
 
+def _slab_rows(N0, D):
+    """Rows per slab: ceil(N0/D).  Even meshes give N0//D (the
+    historical contract); uneven meshes get PADDED slabs — the last
+    slab(s) carry dead rows [N0, rows*D) that paint discards and
+    readout feeds zeros (the reference instead makes the pfft edges
+    themselves uneven, pm.py:1319-1327; equal blocks are what TPU
+    collectives shard, so the padding moves into the slabs)."""
+    return -(-int(N0) // int(D))
+
+
+def _ball_channels(g, s, b, N0, rows, D):
+    """Ring-signed slab distances (dlo, dhi) of the smoothing ball
+    [g-s, g+s] around home block ``b``, periodic with the PHYSICAL
+    period N0 (not the padded rows*D).
+
+    The even-mesh form floor((gc +- s)/rows) - b breaks on padded
+    slabs: crossing the seam at N0 lands in slab 0 after fewer than
+    D*rows cells.  Computing each endpoint's slab in wrapped physical
+    coordinates and taking the symmetric ring distance handles both
+    (and reduces to the old form when N0 == D*rows, since residency
+    keeps |d| <= kside < D/2)."""
+    gm = jnp.mod(g, N0)
+    slo = jnp.floor(jnp.mod(gm - s, N0) / rows).astype(jnp.int32)
+    shi = jnp.floor(jnp.mod(gm + s, N0) / rows).astype(jnp.int32)
+    half = D // 2
+    dlo = jnp.mod(slo - b + half, D) - half
+    dhi = jnp.mod(shi - b + half, D) - half
+    return dlo, dhi
+
+
+def _sentinel_pos(N0, rows, D):
+    """Inert-ish position for particle-count padding: the physical
+    center of the slab holding cell N0-1 (the last block's home
+    ground).  On even meshes this is the historical (D-0.5)*rows; on
+    uneven meshes the last slab's physical extent can be thin, so the
+    sentinel may ghost — it ships with zero mass and is counted by
+    measure_ghosts under the same padding, so capacities stay
+    consistent."""
+    sb = (int(N0) - 1) // int(rows)
+    lo = sb * rows
+    hi = min((sb + 1) * rows, int(N0))
+    return (lo + hi) / 2.0
+
+
 @jax.tree_util.register_pytree_node_class
 class ShardedLayout(object):
     """Capacity-padded ghost routing plan over a device mesh.
@@ -257,14 +301,30 @@ class ShardedLayout(object):
         ufuncs = {np.add: 'sum', np.maximum: 'max', np.fmax: 'max',
                   np.minimum: 'min', np.fmin: 'min',
                   np.multiply: 'prod'}
+        combine = None
         if not isinstance(mode, str):
             try:
                 mode = ufuncs[mode]
             except (KeyError, TypeError):
-                raise NotImplementedError(
-                    "unsupported gather reduction %r on the sharded "
-                    "path; use gather(..., 'all') and reduce "
-                    "host-side with Layout-style bookkeeping" % (mode,))
+                # ANY binary ufunc/callable (reference
+                # domain.py:296-303 accepts arbitrary ufuncs via
+                # reduceat): within one ghost channel each particle
+                # has at most ONE image, so the channel's returned
+                # values align back to particles with a plain
+                # scatter-SET (no reduction) and the channels combine
+                # element-wise — jnp.<ufunc> applies per channel in a
+                # fixed order
+                if callable(mode):
+                    combine = getattr(jnp, getattr(mode, '__name__',
+                                                   ''), None) \
+                        if isinstance(mode, np.ufunc) else mode
+                if combine is None:
+                    raise NotImplementedError(
+                        "unsupported gather reduction %r on the "
+                        "sharded path; pass a jnp-applicable binary "
+                        "ufunc/callable, or use gather(..., 'all') "
+                        "and reduce host-side" % (mode,))
+                mode = 'ufunc'
         if mode == 'all':
             return data
         if data.shape[0] != self.recvlength:
@@ -323,6 +383,23 @@ class ShardedLayout(object):
                     op = {'max': at.max, 'min': at.min,
                           'prod': at.multiply}[mode]
                     out = op(contrib, mode='drop')
+                elif mode == 'ufunc':
+                    # indices are unique within a channel: align the
+                    # channel's values to particles with a scatter-
+                    # SET, then combine element-wise with the
+                    # caller's binary fn (any ufunc, no scatter-
+                    # reduction support needed).  Invalid slots are
+                    # routed to an overflow row (sentinel >= nl:
+                    # negative indices WRAP even under 'drop')
+                    tgt = jnp.where(ok, i, nl)
+                    pad = (nl + 1,) + out.shape[1:]
+                    aligned = jnp.zeros(pad, out.dtype).at[tgt].set(
+                        back, mode='drop')[:nl]
+                    filled = jnp.zeros((nl + 1,), bool).at[tgt].set(
+                        True, mode='drop')[:nl]
+                    fb = filled.reshape(
+                        filled.shape + (1,) * (d.ndim - 1))
+                    out = jnp.where(fb, combine(out, aligned), out)
                 else:
                     raise NotImplementedError(mode)
             if want_count:
@@ -347,19 +424,46 @@ class ShardedLayout(object):
         return np.asarray(jnp.sum(self.send_idx >= 0, axis=(1, 2)))
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _constrain_blocks_fn(sharding):
+    return jax.jit(lambda v: jax.lax.with_sharding_constraint(
+        v, sharding))
+
+
+def _constrain_blocks(value, sharding):
+    """with_sharding_constraint that tolerates non-divisible leading
+    extents: inside jit the constraint is a GSPMD hint (XLA resolves
+    an uneven request to its best divisor split); the eager primitive
+    would reject it."""
+    import jax.core as _core
+    if isinstance(value, _core.Tracer):
+        return jax.lax.with_sharding_constraint(value, sharding)
+    return _constrain_blocks_fn(sharding)(value)
+
+
 def home_block(pos0_grid, N0, D):
     """Home slab/device of an axis-0 grid coordinate."""
-    rows = N0 // D
+    rows = _slab_rows(N0, D)
     return (jnp.floor(jnp.mod(pos0_grid, N0)) // rows).astype(
         jnp.int32) % D
 
 
-def _default_kside(smoothing, rows, D):
+def _default_kside(smoothing, rows, D, N0=None):
     """window reach in slabs plus ONE slab of headroom: covers both
     a cell of drift since the last reshard and the equal-count
     quantile splits of :func:`reshard` that can leave edge particles
-    one block from home (a legal reshard must never poison)."""
+    one block from home (a legal reshard must never poison).
+
+    Uneven meshes add the fully-dead slabs at the seam: a ball
+    wrapping the physical period N0 < rows*D hops over them in ring
+    distance, so the reach must cover them too."""
     kside = int(np.ceil(float(smoothing) / rows)) + 1
+    if N0 is not None and rows * D != int(N0):
+        dead_slabs = (D - 1) - (int(N0) - 1) // rows
+        kside += dead_slabs
     return min(max(1, kside), max(1, (D - 1) // 2))
 
 
@@ -382,21 +486,29 @@ def measure_ghosts(procmesh, pos0_grid, N0, npart, smoothing,
             "initial state, and pass the resulting capacity into "
             "decompose")
     D = procmesh.size
-    rows = N0 // D
+    rows = _slab_rows(N0, D)
     if kside is None:
-        kside = _default_kside(smoothing, rows, D)
+        kside = _default_kside(smoothing, rows, D, N0=N0)
     s = float(smoothing)
     ax = procmesh.axis
     chans = _channels(kside)
+    # uneven particle counts: pad with slab-center sentinels exactly
+    # as decompose() does, so auto-tuning (Solver.tune_exchange) works
+    # on any npart — a sentinel at a slab center ghosts nowhere as
+    # long as smoothing < rows/2 (decompose enforces the same bound
+    # through capacity anyway; a counted-but-unused ghost only
+    # inflates the measured capacity, never corrupts)
+    pos0_grid = jnp.asarray(pos0_grid)
+    npad = -(-pos0_grid.shape[0] // D) * D
+    if npad > pos0_grid.shape[0]:
+        sentinel = jnp.full((npad - pos0_grid.shape[0],),
+                            _sentinel_pos(N0, rows, D),
+                            pos0_grid.dtype)
+        pos0_grid = jnp.concatenate([pos0_grid, sentinel])
 
     def count(g):
         b = lax.axis_index(ax)
-        gm = jnp.mod(g, N0)
-        fdt = gm.dtype
-        center = (b.astype(fdt) + 0.5) * rows
-        gc = gm - N0 * jnp.round((gm - center) / N0)
-        dlo = jnp.floor((gc - s) / rows).astype(jnp.int32) - b
-        dhi = jnp.floor((gc + s) / rows).astype(jnp.int32) - b
+        dlo, dhi = _ball_channels(g, s, b, N0, rows, D)
         cnts = []
         for m, side in chans:
             mask = (dlo <= -m) if side < 0 else (dhi >= m)
@@ -410,6 +522,86 @@ def measure_ghosts(procmesh, pos0_grid, N0, npart, smoothing,
                    out_specs=(P(ax, None), P(ax, None)))
     c, reach = fn(jnp.asarray(pos0_grid))
     return np.asarray(c[0]), int(np.asarray(reach)[0, 0])
+
+
+def measure_load(procmesh, pos0_grid, N0, smoothing, kside=None):
+    """Per-device work accounting on a concrete state — the
+    ``get_exchange_cost`` analog (reference domain.py:125-136) plus
+    the load measurement the reference feeds into loadbalance
+    (domain.py:409-499).
+
+    TPU slabs are equal-sized by construction (uneven blocks don't
+    shard), so the fix for imbalance is the equal-count quantile
+    :func:`reshard`, not uneven domains — but the residual skew from
+    clustering (ghost traffic + paint work follow the density) is
+    real and must be REPORTED, not hidden.  Returns a dict:
+
+    - ``residents``: (D,) particles homed per device block
+    - ``ghosts_sent``: (D,) ghost images shipped away per device
+    - ``ghosts_recv``: (D,) ghost images received per device
+    - ``paint_work``: (D,) residents + received (stencil updates)
+    - ``imbalance``: max(paint_work) / mean(paint_work) — 1.0 is
+      perfect; the reshard quantile split drives this to ~1 in
+      resident count, leaving only the clustering skew.
+
+    Host-syncs; call outside jit (like :func:`measure_ghosts`).
+    """
+    D = procmesh.size
+    rows = _slab_rows(N0, D)
+    if kside is None:
+        kside = _default_kside(smoothing, rows, D, N0=N0)
+    s = float(smoothing)
+    ax = procmesh.axis
+    chans = _channels(kside)
+    pos0_grid = jnp.asarray(pos0_grid)
+    npad = -(-pos0_grid.shape[0] // D) * D
+    npart = pos0_grid.shape[0]
+    if npad > npart:
+        sentinel = jnp.full((npad - npart,),
+                            _sentinel_pos(N0, rows, D),
+                            pos0_grid.dtype)
+        pos0_grid = jnp.concatenate([pos0_grid, sentinel])
+
+    def count(g):
+        b = lax.axis_index(ax)
+        gm = jnp.mod(g, N0)
+        # residents of THIS slab among the block (post-reshard the
+        # block ~= the slab population; pre-reshard they can differ)
+        res = jnp.sum(((gm >= b * rows) & (gm < (b + 1) * rows))
+                      .astype(jnp.int32))
+        dlo, dhi = _ball_channels(g, s, b, N0, rows, D)
+        cnts = [jnp.sum(((dlo <= -m) if side < 0 else (dhi >= m))
+                        .astype(jnp.int32)) for m, side in chans]
+        return res[None], jnp.stack(cnts)[None]
+
+    fn = shard_map(count, mesh=procmesh.mesh, in_specs=P(ax),
+                   out_specs=(P(ax), P(ax, None)))
+    res, sent = fn(pos0_grid)
+    res = np.asarray(res)
+    sent = np.asarray(sent)                   # (D, C)
+    recv = np.zeros(D, np.int64)
+    for c, (m, side) in enumerate(chans):
+        # block j ships channel (m, side) to block j + side*m
+        for j in range(D):
+            recv[(j + side * m) % D] += sent[j, c]
+    # sentinels sit in the LAST BLOCK's particle list but are homed
+    # at the sentinel slab (= the last slab on even meshes); deduct
+    # them from wherever they were counted
+    if npad > npart:
+        sb = int(_sentinel_pos(N0, rows, D) // rows)
+        if sb == D - 1:
+            res[-1] -= (npad - npart)
+    nl = npad // D
+    work = np.full(D, nl, np.int64) + recv
+    if npad > npart:
+        work[-1] -= (npad - npart)
+    return {
+        "residents": res,
+        "ghosts_sent": sent.sum(axis=1),
+        "ghosts_recv": recv,
+        "paint_work": work,
+        "imbalance": float(work.max() / max(work.mean(), 1e-300)),
+    }
 
 
 def decompose(procmesh, pos0_grid, N0, npart, smoothing,
@@ -438,14 +630,23 @@ def decompose(procmesh, pos0_grid, N0, npart, smoothing,
         from later drift poisons, never silently drops.
     """
     D = procmesh.size
-    rows = N0 // D
-    if N0 % D != 0:
-        raise ValueError(
-            "slab decomposition needs Nmesh[0] %% n_devices == 0 "
-            "(got %d %% %d); pad the mesh or use fewer devices"
-            % (N0, D))
+    rows = _slab_rows(N0, D)
     if kside is None:
-        kside = _default_kside(smoothing, rows, D)
+        kside = _default_kside(smoothing, rows, D, N0=N0)
+        if rows * D != N0:
+            # an uneven mesh must still be able to REACH across the
+            # dead seam slabs within the non-ambiguous ring radius;
+            # when it cannot (N0 barely above D), the mesh is too
+            # small to slab-shard — the caller falls back to the
+            # replicated path
+            need = (int(np.ceil(float(smoothing) / rows)) + 1
+                    + (D - 1) - (N0 - 1) // rows)
+            if need > max(1, (D - 1) // 2):
+                raise ValueError(
+                    "Nmesh[0]=%d is too small to slab-shard over %d "
+                    "devices (ghost reach %d slabs exceeds the ring "
+                    "radius %d); use fewer devices"
+                    % (N0, D, need, (D - 1) // 2))
     if 2 * kside + 1 > D:
         raise ValueError(
             "kside=%d ghost reach wraps the %d-device ring; use a "
@@ -458,7 +659,7 @@ def decompose(procmesh, pos0_grid, N0, npart, smoothing,
     npart_pad = -(-npart // D) * D
     if npart_pad > npart:
         sentinel = jnp.full((npart_pad - npart,),
-                            (D - 0.5) * rows,
+                            _sentinel_pos(N0, rows, D),
                             jnp.asarray(pos0_grid).dtype)
         pos0_grid = jnp.concatenate([jnp.asarray(pos0_grid),
                                      sentinel])
@@ -482,12 +683,7 @@ def decompose(procmesh, pos0_grid, N0, npart, smoothing,
     def plan(g):
         # g: (nl,) local block of axis-0 grid coordinates
         b = lax.axis_index(ax)
-        gm = jnp.mod(g, N0)
-        fdt = gm.dtype
-        center = (b.astype(fdt) + 0.5) * rows
-        gc = gm - N0 * jnp.round((gm - center) / N0)
-        dlo = jnp.floor((gc - s) / rows).astype(jnp.int32) - b
-        dhi = jnp.floor((gc + s) / rows).astype(jnp.int32) - b
+        dlo, dhi = _ball_channels(g, s, b, N0, rows, D)
         bad = jnp.sum(jnp.where((dlo < -kside) | (dhi > kside), 1, 0))
         arange = jnp.arange(nl, dtype=jnp.int32)
         bufs = []
@@ -552,7 +748,10 @@ def reshard(procmesh, pos0_grid, N0, *arrays):
     arrays = tuple(jnp.asarray(a) for a in arrays)
     out = tuple(jnp.take(a, order, axis=0) for a in arrays)
     ax = procmesh.axis
-    out = tuple(jax.lax.with_sharding_constraint(
+    # eager with_sharding_constraint rejects particle counts that
+    # do not divide D (jit-internal constraints accept them and let
+    # GSPMD pick the best block split), so route through a tiny jit
+    out = tuple(_constrain_blocks(
         a, jax.sharding.NamedSharding(
             procmesh.mesh, P(ax, *([None] * (a.ndim - 1)))))
         for a in out)
@@ -570,16 +769,26 @@ def reshard(procmesh, pos0_grid, N0, *arrays):
 # dropped because the neighboring device's image of the same particle
 # covers them (exactly the reference's local-canvas contract).
 
-def _grid_coords(layout, pos, scale):
+def _grid_coords(layout, pos, scale, translate=None):
     """Exchange simulation-unit positions as per-axis grid coordinate
-    ghost arrays; axis 0 arrives in each receiver's unwrapped frame."""
+    ghost arrays; axis 0 arrives in each receiver's unwrapped frame.
+
+    ``translate`` (grid cells, per axis) is folded into the
+    coordinates BEFORE the exchange so the ghost plan — built by
+    :func:`decompose` from the same translated axis-0 coordinate —
+    covers exactly the cells the kernel touches (the Affine translate
+    role, reference pmesh/window.py:18-55)."""
     pos = jnp.asarray(pos)
     ndim = pos.shape[-1]
-    g0 = pos[:, 0] * jnp.asarray(scale[0], pos.dtype)
+    if translate is None:
+        translate = (0.0,) * ndim
+    g0 = pos[:, 0] * jnp.asarray(scale[0], pos.dtype) \
+        + jnp.asarray(translate[0], pos.dtype)
     eg0 = layout.exchange_grid0(g0)
     egs = [eg0]
     for d in range(1, ndim):
-        gd = pos[:, d] * jnp.asarray(scale[d], pos.dtype)
+        gd = pos[:, d] * jnp.asarray(scale[d], pos.dtype) \
+            + jnp.asarray(translate[d], pos.dtype)
         egs.append(layout.exchange(gd))
     return egs
 
@@ -619,9 +828,31 @@ def _check_hsml(layout, window, hsml, hsml_max):
     return eh, bad
 
 
+# jitted shard_map programs are cached by their static geometry:
+# jax.jit caches on function identity, so a fresh closure per call
+# would retrace/recompile the whole sharded stencil program on every
+# eager paint/readout invocation
+_SHARDED_FN_CACHE = {}
+
+
+def _diff_scale(outs, scale, diffdir):
+    """Match the single-device convention: derivative kernels carry
+    the sim->grid chain-rule factor scale[d] (ops/paint.py _kweight),
+    which the sharded path — computing in grid units (scale=1) —
+    must re-apply, or gradients come out per GRID CELL instead of per
+    simulation unit whenever BoxSize != Nmesh."""
+    if diffdir is None:
+        return outs
+    if diffdir == 'all':
+        return tuple(o * jnp.asarray(scale[d], o.dtype)
+                     for d, o in enumerate(outs))
+    f = float(scale[int(diffdir)])
+    return tuple(o * jnp.asarray(f, o.dtype) for o in outs)
+
+
 def paint_sharded(layout, pos, mass, shape, scale, window,
                   diffdir=None, dtype=None, base=None, hsml=None,
-                  hsml_max=None):
+                  hsml_max=None, translate=None):
     """Paint a device-sharded particle set onto the slab-sharded mesh.
 
     Parameters
@@ -645,7 +876,7 @@ def paint_sharded(layout, pos, mass, shape, scale, window,
                          "N0=%d" % (shape, layout.N0))
     if dtype is None:
         dtype = pos.dtype
-    egs = _grid_coords(layout, pos, scale)
+    egs = _grid_coords(layout, pos, scale, translate)
     em = _exchange_mass(layout, mass, pos.shape[0], dtype)
     eh, hbad = _check_hsml(layout, window, hsml, hsml_max)
 
@@ -657,30 +888,44 @@ def paint_sharded(layout, pos, mass, shape, scale, window,
     period = (0,) + shape[1:]
     nh = 0 if eh is None else 1
 
-    def local(em, *rest):
-        egs = rest[:len(rest) - nh] if nh else rest
-        b = lax.axis_index(ax)
-        p = jnp.stack(
-            [egs[0] - b.astype(egs[0].dtype) * rows] + list(egs[1:]),
-            axis=-1)
-        zeros = jnp.zeros(lshape, dtype=dtype)
-        return _paint_ops.paint(zeros, p, mass=em, window=window,
-                                scale=1.0, translate=0.0,
-                                period=period, diffdir=diffdir,
-                                hsml=rest[-1] if nh else None,
-                                hsml_max=hsml_max)
+    key = ('paint', layout.procmesh, rows, tuple(shape),
+           str(window), diffdir, jnp.dtype(dtype).name, nh,
+           None if hsml_max is None else float(hsml_max))
+    if key not in _SHARDED_FN_CACHE:
+        def local(em, *rest):
+            egs = rest[:len(rest) - nh] if nh else rest
+            b = lax.axis_index(ax)
+            p = jnp.stack(
+                [egs[0] - b.astype(egs[0].dtype) * rows]
+                + list(egs[1:]), axis=-1)
+            zeros = jnp.zeros(lshape, dtype=dtype)
+            return _paint_ops.paint(zeros, p, mass=em, window=window,
+                                    scale=1.0, translate=0.0,
+                                    period=period, diffdir=diffdir,
+                                    hsml=rest[-1] if nh else None,
+                                    hsml_max=hsml_max)
 
+        fn = shard_map(local, mesh=layout.procmesh.mesh,
+                       in_specs=(P(ax),) * (1 + ndim + nh),
+                       out_specs=P(ax, *([None] * (ndim - 1))))
+        # jit the shard_map: eagerly it executes primitive-by-
+        # primitive over the mesh (one pjit dispatch per stencil op —
+        # minutes for a 64-offset hsml stencil); as one program it
+        # compiles once
+        from jax.sharding import NamedSharding
+        _SHARDED_FN_CACHE[key] = jax.jit(
+            fn, out_shardings=NamedSharding(
+                layout.procmesh.mesh,
+                P(ax, *([None] * (ndim - 1)))))
     operands = (em,) + tuple(egs) + ((eh,) if nh else ())
-    fn = shard_map(local, mesh=layout.procmesh.mesh,
-                   in_specs=(P(ax),) * len(operands),
-                   out_specs=P(ax, *([None] * (ndim - 1))))
-    # jit the shard_map: eagerly it executes primitive-by-primitive
-    # over the mesh (one pjit dispatch per stencil op — minutes for a
-    # 64-offset hsml stencil); as one program it compiles once
-    from jax.sharding import NamedSharding
-    out = jax.jit(fn, out_shardings=NamedSharding(
-        layout.procmesh.mesh,
-        P(ax, *([None] * (ndim - 1)))))(*operands)
+    out = _SHARDED_FN_CACHE[key](*operands)
+    if rows * layout.D != shape[0]:
+        # uneven mesh: the slabs are padded (dead rows at the top
+        # absorb the wrap-seam stencil spill; the ghost images on the
+        # wrapped side deposit the physical contribution) — slice the
+        # global padded mesh back to the logical extent
+        out = out[:shape[0]]
+    out = _diff_scale((out,), scale, diffdir)[0]
     # NaN coordinates of a poisoned plan are silently dropped by the
     # bounds check; surface the poison in the mesh itself
     out = out + layout.badness.astype(out.dtype)
@@ -692,56 +937,95 @@ def paint_sharded(layout, pos, mass, shape, scale, window,
 
 
 def readout_sharded(layout, meshes, pos, scale, window, diffdir=None,
-                    hsml=None, hsml_max=None):
+                    hsml=None, hsml_max=None, translate=None):
     """Read slab-sharded meshes at a device-sharded particle set.
 
     ``meshes``: one (shape) array or a tuple sharing the stencil
     computation (the batched force-readout fast path).  Returns per
     mesh the (npart,) values in the original particle ordering.
+
+    ``diffdir='all'``: ONE mesh, all ndim derivative readouts sharing
+    a single stencil pass and ONE ghost gather (the fused gradient-
+    mode force readout) — returns an ndim-tuple.
     """
     from ..ops import paint as _paint_ops
-    single = not isinstance(meshes, (tuple, list))
-    meshes = (meshes,) if single else tuple(meshes)
+    multi = diffdir == 'all'
+    single = not isinstance(meshes, (tuple, list)) and not multi
+    meshes = (meshes,) if not isinstance(meshes, (tuple, list)) \
+        else tuple(meshes)
     meshes = tuple(jnp.asarray(m) for m in meshes)
     pos = jnp.asarray(pos)
     ndim = pos.shape[-1]
+    if multi and len(meshes) != 1:
+        raise ValueError("diffdir='all' takes exactly one mesh")
     shape = meshes[0].shape
     if shape[0] != layout.N0:
         raise ValueError("mesh shape %s does not match the layout's "
                          "N0=%d" % (shape, layout.N0))
-    egs = _grid_coords(layout, pos, scale)
+    egs = _grid_coords(layout, pos, scale, translate)
     eh, hbad = _check_hsml(layout, window, hsml, hsml_max)
 
     ax = layout.procmesh.axis
     rows = layout.rows
+    if rows * layout.D != shape[0]:
+        # uneven mesh: pad to the dead-row slab extent with zeros
+        # (the wrap-seam cells a local stencil would read past the
+        # physical edge; the ghost image on the wrapped side reads
+        # the real cells)
+        pad = rows * layout.D - shape[0]
+        meshes = tuple(jnp.pad(m, ((0, pad),) + ((0, 0),)
+                               * (m.ndim - 1)) for m in meshes)
     period = (0,) + tuple(shape[1:])
     nmesh = len(meshes)
+    nout = ndim if multi else nmesh
     nh = 0 if eh is None else 1
 
-    def local(*args):
-        lmeshes = args[:nmesh]
-        egs = args[nmesh:len(args) - nh] if nh else args[nmesh:]
-        b = lax.axis_index(ax)
-        p = jnp.stack(
-            [egs[0] - b.astype(egs[0].dtype) * rows] + list(egs[1:]),
-            axis=-1)
-        vals = _paint_ops.readout(
-            lmeshes[0] if nmesh == 1 else tuple(lmeshes), p,
-            window=window, scale=1.0, translate=0.0, period=period,
-            diffdir=diffdir, hsml=args[-1] if nh else None,
-            hsml_max=hsml_max)
-        if nmesh == 1:
-            return (vals,)
-        return tuple(vals)
+    key = ('readout', layout.procmesh, rows, tuple(shape),
+           str(window), diffdir, nmesh, nh,
+           None if hsml_max is None else float(hsml_max))
+    if key not in _SHARDED_FN_CACHE:
+        def local(*args):
+            lmeshes = args[:nmesh]
+            egs = args[nmesh:len(args) - nh] if nh else args[nmesh:]
+            b = lax.axis_index(ax)
+            p = jnp.stack(
+                [egs[0] - b.astype(egs[0].dtype) * rows]
+                + list(egs[1:]), axis=-1)
+            if multi:
+                vals = tuple(_paint_ops.readout(
+                    lmeshes[0], p, window=window, scale=1.0,
+                    translate=0.0, period=period, diffdir=d,
+                    hsml=args[-1] if nh else None,
+                    hsml_max=hsml_max) for d in range(ndim))
+            else:
+                vals = _paint_ops.readout(
+                    lmeshes[0] if nmesh == 1 else tuple(lmeshes), p,
+                    window=window, scale=1.0, translate=0.0,
+                    period=period, diffdir=diffdir,
+                    hsml=args[-1] if nh else None,
+                    hsml_max=hsml_max)
+            if not isinstance(vals, tuple):
+                return (vals,)
+            return tuple(vals)
 
-    mesh_spec = P(ax, *([None] * (ndim - 1)))
+        mesh_spec = P(ax, *([None] * (ndim - 1)))
+        _SHARDED_FN_CACHE[key] = jax.jit(shard_map(
+            local, mesh=layout.procmesh.mesh,
+            in_specs=(mesh_spec,) * nmesh + (P(ax),) * (ndim + nh),
+            out_specs=(P(ax),) * nout))
     operands = meshes + tuple(egs) + ((eh,) if nh else ())
-    fn = shard_map(local, mesh=layout.procmesh.mesh,
-                   in_specs=(mesh_spec,) * nmesh
-                   + (P(ax),) * (len(egs) + nh),
-                   out_specs=(P(ax),) * nmesh)
-    partials = jax.jit(fn)(*operands)  # see paint_sharded: never eager
-    outs = tuple(layout.gather(v, mode='sum') for v in partials)
+    # see paint_sharded: never eager
+    partials = _SHARDED_FN_CACHE[key](*operands)
+    # ONE fused gather for the multi-output case: stack the per-
+    # derivative partials on a trailing axis so the ppermute routing
+    # runs once over all outputs
+    if nout > 1:
+        stacked = jnp.stack(partials, axis=-1)
+        g = layout.gather(stacked, mode='sum')
+        outs = tuple(g[..., i] for i in range(nout))
+    else:
+        outs = tuple(layout.gather(v, mode='sum') for v in partials)
+    outs = _diff_scale(outs, scale, diffdir)
     if hbad is not None:
         outs = tuple(o + hbad.astype(o.dtype) for o in outs)
     return outs[0] if single else outs

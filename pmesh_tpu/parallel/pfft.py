@@ -116,12 +116,126 @@ def _c2r_sharded(pmesh, value, Nmesh, real_dtype, norm):
     return out
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def _r2c_uneven(pmesh, value, c2c, norm):
+    """Slab r2c for extents that do not divide the device count:
+    pad-and-slice around the even kernel (the role of the reference's
+    uneven pfft edges, pm.py:1319-1327).
+
+    Each axis is transformed while it is LOCAL-COMPLETE, so zero
+    padding never enters a DFT: pad axis 0 (dead real rows transform
+    to dead spectral rows along axes 1.., and the axis-0 DFT runs on
+    the sliced physical extent after the transpose); pad axis 1 only
+    AFTER its DFT (dead frequency rows, sliced off at the end)."""
+    ndim = value.ndim
+    axis = pmesh.axis
+    D = pmesh.size
+    N0, N1 = int(value.shape[0]), int(value.shape[1])
+    rows = -(-N0 // D)
+    n1 = -(-N1 // D)
+
+    half_slice = None
+    if ndim == 2 and not c2c:
+        value = value.astype(jnp.complex128 if value.dtype ==
+                             jnp.float64 else jnp.complex64)
+        half_slice = value.shape[1] // 2 + 1
+        c2c = True
+
+    if rows * D != N0:
+        value = jnp.pad(value, ((0, rows * D - N0),)
+                        + ((0, 0),) * (ndim - 1))
+
+    def local(r):
+        if c2c:
+            c = jnp.fft.fftn(r, axes=tuple(range(1, ndim)))
+        else:
+            c = jnp.fft.rfftn(r, axes=tuple(range(1, ndim)))
+        if n1 * D != N1:
+            c = jnp.pad(c, ((0, 0), (0, n1 * D - N1))
+                        + ((0, 0),) * (ndim - 2))
+        c = jax.lax.all_to_all(c, axis, split_axis=1, concat_axis=0,
+                               tiled=True)
+        c = jnp.fft.fft(c[:N0], axis=0)
+        return c * jnp.asarray(norm, dtype=c.real.dtype)
+
+    fn = shard_map(local, mesh=pmesh.mesh,
+                   in_specs=pmesh.real_spec(ndim),
+                   out_specs=pmesh.transposed_spec(ndim))
+    out = fn(value)
+    if n1 * D != N1:
+        out = out[:, :N1]
+    if half_slice is not None:
+        out = out[:, :half_slice]
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def _c2r_uneven(pmesh, value, Nmesh, real_dtype, norm):
+    """Inverse of :func:`_r2c_uneven` (same pad-and-slice scheme run
+    backwards)."""
+    ndim = value.ndim
+    axis = pmesh.axis
+    D = pmesh.size
+    c2c = _is_c2c(real_dtype)
+    N0, N1 = int(Nmesh[0]), int(Nmesh[1])
+    rows = -(-N0 // D)
+    n1 = -(-N1 // D)
+
+    take_real = False
+    if ndim == 2 and not c2c:
+        Yh = value.shape[1]
+        rows_rev = jnp.roll(value[::-1], 1, axis=0)
+        tail = jnp.conj(rows_rev[:, 1:N1 - Yh + 1][:, ::-1])
+        value = jnp.concatenate([value, tail], axis=1)
+        out_dtype = real_dtype
+        real_dtype = jnp.dtype(
+            jnp.complex128 if real_dtype == jnp.float64
+            else jnp.complex64)
+        c2c = True
+        take_real = True
+
+    if n1 * D != value.shape[1]:
+        value = jnp.pad(value, ((0, 0), (0, n1 * D - value.shape[1]))
+                        + ((0, 0),) * (ndim - 2))
+
+    def local(c):
+        c = jnp.fft.ifft(c, axis=0)
+        if rows * D != N0:
+            c = jnp.pad(c, ((0, rows * D - N0),)
+                        + ((0, 0),) * (ndim - 1))
+        c = jax.lax.all_to_all(c, axis, split_axis=0, concat_axis=1,
+                               tiled=True)
+        c = c[:, :N1]
+        if c2c:
+            r = jnp.fft.ifftn(c, axes=tuple(range(1, ndim)))
+            r = r.astype(real_dtype)
+        else:
+            r = jnp.fft.irfftn(c, axes=tuple(range(1, ndim)),
+                               s=tuple(Nmesh[1:]))
+            r = r.astype(real_dtype)
+        return r * jnp.asarray(norm, dtype=r.real.dtype)
+
+    fn = shard_map(local, mesh=pmesh.mesh,
+                   in_specs=pmesh.transposed_spec(ndim),
+                   out_specs=pmesh.real_spec(ndim))
+    out = fn(value)
+    if rows * D != N0:
+        out = out[:N0]
+    if take_real:
+        out = out.real.astype(out_dtype)
+    return out
+
+
 def r2c(pmesh, value, norm):
     """Forward transform of a slab-sharded global array; returns the
     transposed-layout complex global array."""
     if value.ndim < 2:
         raise ValueError("distributed 1-d transforms are not supported; "
                          "use a single-device ParticleMesh")
+    D = pmesh.size
+    if int(value.shape[0]) % D or int(value.shape[1]) % D:
+        return _r2c_uneven(pmesh, value, _is_c2c(value.dtype),
+                           float(norm))
     return _r2c_sharded(pmesh, value, _is_c2c(value.dtype), float(norm))
 
 
@@ -129,5 +243,8 @@ def c2r(pmesh, value, Nmesh, real_dtype, norm):
     """Backward transform; inverse of :func:`r2c` (unnormalized when
     norm == prod(Nmesh), matching ops/fft.py conventions)."""
     Nmesh = tuple(int(n) for n in Nmesh)
+    if Nmesh[0] % pmesh.size or Nmesh[1] % pmesh.size:
+        return _c2r_uneven(pmesh, value, Nmesh, jnp.dtype(real_dtype),
+                           float(norm))
     return _c2r_sharded(pmesh, value, Nmesh, jnp.dtype(real_dtype),
                         float(norm))

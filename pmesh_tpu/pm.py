@@ -42,6 +42,18 @@ __all__ = ["ParticleMesh", "RealField", "ComplexField",
 _gettype = type
 
 
+@functools.lru_cache(maxsize=None)
+def _constrain_uneven_fn(sharding):
+    # jit cached per sharding: with_sharding_constraint is the only
+    # entry point jax allows for uneven block NamedShardings
+    return jax.jit(lambda v: jax.lax.with_sharding_constraint(
+        v, sharding))
+
+
+def _constrain_uneven(value, sharding):
+    return _constrain_uneven_fn(sharding)(value)
+
+
 def is_inplace(out):
     return out is Ellipsis
 
@@ -143,6 +155,14 @@ class Field(object):
         if sharding is not None and not isinstance(
                 value, jax.core.Tracer):
             value = jax.device_put(value, sharding)
+        elif pm._uneven1d and not isinstance(
+                value, jax.core.Tracer):
+            # uneven extents: device_put rejects uneven NamedShardings
+            # but with_sharding_constraint inside jit accepts them —
+            # XLA derives the best divisor block split (far below the
+            # O(mesh)-per-device cost of replication)
+            value = _constrain_uneven(
+                value, pm._uneven_sharding_for(type(self)))
         self.value = value
 
     # --- pytree protocol ---
@@ -614,15 +634,13 @@ class RealField(Field):
 
         from .parallel.exchange import ShardedLayout, readout_sharded
         if isinstance(layout, ShardedLayout):
-            if np.any(np.asarray(transform.translate) != 0):
-                raise NotImplementedError(
-                    "the sharded readout assumes a translate-0 affine")
             value = (self.value.real if _fft.is_c2c(self.dtype)
                      else self.value)
             return readout_sharded(layout, value, pos,
                                    transform.scale, resampler.window,
                                    diffdir=gradient, hsml=hsml,
-                                   hsml_max=hsml_max)
+                                   hsml_max=hsml_max,
+                                   translate=transform.translate)
 
         if layout is not None:
             pos = layout.exchange(pos)
@@ -874,6 +892,7 @@ class ParticleMesh(object):
 
         self._even_mesh = True
         self._pencil2d = False
+        self._uneven1d = False
         if self.procmesh is not None and self.procmesh.size > 1:
             D = self.procmesh.size
             if self.ndim < 2:
@@ -895,12 +914,20 @@ class ParticleMesh(object):
             else:
                 # the fast shard_map paths need equal blocks; a mesh
                 # that does not divide (legal in the reference via
-                # uneven pfft edges, pm.py:1319-1327) falls back to
-                # GSPMD-global execution — correct at any size,
-                # efficient only for the small meshes where
-                # non-divisibility actually occurs
+                # uneven pfft edges, pm.py:1319-1327) runs the SAME
+                # slab paths with pad-and-slice (parallel/pfft
+                # _r2c_uneven, exchange padded slabs) when the slabs
+                # are deep enough to reach across the dead seam;
+                # only tiny meshes fall back to replicated GSPMD
                 self._even_mesh = all(int(self.Nmesh[d]) % D == 0
                                       for d in (0, 1))
+                if not self._even_mesh:
+                    from .parallel import exchange as _ex
+                    rows = _ex._slab_rows(int(self.Nmesh[0]), D)
+                    s = self.resampler.support * 0.5
+                    need = (int(_np.ceil(s / rows)) + 1 + (D - 1)
+                            - (int(self.Nmesh[0]) - 1) // rows)
+                    self._uneven1d = need <= max(1, (D - 1) // 2)
 
         if self.dtype in (_np.dtype('f8'), _np.dtype('f4')):
             self._is_c2c = False
@@ -944,11 +971,23 @@ class ParticleMesh(object):
         for single-device meshes."""
         if self.procmesh is None or self.procmesh.size <= 1:
             return None
+        if self._uneven1d:
+            # uneven extents on the slab path: fields are stored
+            # with the best block sharding GSPMD can derive (jax
+            # rejects uneven NamedShardings in device_put, but
+            # with_sharding_constraint accepts them and XLA picks a
+            # divisor split) — handled in Field.__init__ via
+            # _constrain_uneven; the compute paths pad-and-slice
+            return None
         if not self._even_mesh and not self._pencil2d:
-            # uneven extents: jax rejects uneven block NamedShardings,
-            # so non-divisible meshes live replicated on the process
-            # mesh (reference: uneven pfft edges, pm.py:1319-1327)
+            # tiny uneven extents: too shallow to slab-shard (the
+            # ghost reach would wrap the ring) — live replicated on
+            # the process mesh (reference: uneven pfft edges,
+            # pm.py:1319-1327)
             return self.procmesh.replicated_sharding(self.ndim)
+        return self._named_sharding_for(field_type)
+
+    def _named_sharding_for(self, field_type):
         if issubclass(field_type, RealField):
             return self.procmesh.real_sharding(self.ndim)
         if issubclass(field_type, TransposedComplexField):
@@ -960,6 +999,12 @@ class ParticleMesh(object):
         if issubclass(field_type, UntransposedComplexField):
             return self.procmesh.untransposed_sharding(self.ndim)
         raise TypeError(field_type)
+
+    def _uneven_sharding_for(self, field_type):
+        """The at-rest sharding request for uneven slab meshes:
+        the same specs as the even layouts (GSPMD resolves the
+        uneven extent to its best divisor block split)."""
+        return self._named_sharding_for(field_type)
 
     # --- shapes ---
     def _shape_dtype(self, field_type):
@@ -975,7 +1020,7 @@ class ParticleMesh(object):
     # --- transforms ---
     def _r2c_value(self, value):
         if self.procmesh is not None and self.procmesh.size > 1:
-            if self._even_mesh:
+            if self._even_mesh or self._uneven1d:
                 from .parallel import pfft as _pfft
                 return _pfft.r2c(self.procmesh, value,
                                  norm=1.0 / float(np.prod(self.Nmesh)))
@@ -998,7 +1043,7 @@ class ParticleMesh(object):
 
     def _c2r_value(self, value):
         if self.procmesh is not None and self.procmesh.size > 1:
-            if self._even_mesh:
+            if self._even_mesh or self._uneven1d:
                 from .parallel import pfft as _pfft
                 return _pfft.c2r(self.procmesh, value, self.Nmesh,
                                  self._rtype,
@@ -1203,12 +1248,21 @@ class ParticleMesh(object):
             smoothing = smoothing.support * 0.5
         except TypeError:
             pass
+        if transform is None:
+            transform = self.affine
         if (self.procmesh is not None and self.procmesh.size > 1
-                and self._even_mesh):
+                and (self._even_mesh or self._uneven1d)):
             from .parallel import exchange as _ex
             pos = jnp.asarray(pos)
-            g0 = pos[:, 0] * jnp.asarray(self.affine.scale[0],
-                                         pos.dtype)
+            # the plan is built in the TRANSLATED grid frame so a
+            # shifted affine's kernel footprint is exactly what the
+            # ghost channels cover (paint/readout fold the same
+            # translate into their coordinates; the reference instead
+            # drops translate because its translate is the local-rank
+            # offset, pm.py:1786-1790 — here translate is global)
+            g0 = pos[:, 0] * jnp.asarray(transform.scale[0],
+                                         pos.dtype) \
+                + jnp.asarray(transform.translate[0], pos.dtype)
             return _ex.decompose(self.procmesh, g0, int(self.Nmesh[0]),
                                  pos.shape[0], float(smoothing),
                                  kside=kside, capacity=capacity)
@@ -1220,7 +1274,7 @@ class ParticleMesh(object):
         :meth:`decompose`'s residency contract holds (the mpsort
         re-layout role, reference pm.py:389-448)."""
         if self.procmesh is None or self.procmesh.size <= 1 \
-                or not self._even_mesh:
+                or not (self._even_mesh or self._uneven1d):
             return (pos,) + tuple(arrays) if arrays else pos
         from .parallel import exchange as _ex
         pos = jnp.asarray(pos)
@@ -1248,17 +1302,14 @@ class ParticleMesh(object):
 
         from .parallel.exchange import ShardedLayout, paint_sharded
         if isinstance(layout, ShardedLayout):
-            if np.any(np.asarray(transform.translate) != 0):
-                raise NotImplementedError(
-                    "the sharded paint assumes a translate-0 affine "
-                    "(the global-grid transform)")
             if out is None:
                 out = self.create(type=RealField)
             base = out.value if hold else None
             painted = paint_sharded(
                 layout, pos, mass, tuple(self.Nmesh), transform.scale,
                 resampler.window, diffdir=gradient, dtype=self._rtype,
-                base=base, hsml=hsml, hsml_max=hsml_max)
+                base=base, hsml=hsml, hsml_max=hsml_max,
+                translate=transform.translate)
             out.value = painted.astype(out.dtype)
             return out
 

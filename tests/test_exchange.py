@@ -265,8 +265,26 @@ def test_sharded_gather_ufuncs(pmesh8):
     assert_allclose(np.asarray(lay.gather(ghosts, 'min')), v)
     assert_allclose(np.asarray(lay.gather(ghosts, np.multiply)),
                     v ** nimg, rtol=1e-12)
+    # ARBITRARY binary ufuncs/callables (reference accepts any ufunc
+    # via reduceat, domain.py:296-303): each ghost image combines
+    # element-wise in channel order.  With every image carrying the
+    # particle's value, a+2b accumulates 2v per extra image — an
+    # order-independent truth.
+    got = np.asarray(lay.gather(ghosts, lambda a, b: a + 2 * b))
+    assert_allclose(got, v + 2 * v * (nimg - 1), rtol=1e-12)
+    # numpy ufuncs with a jnp equivalent route automatically;
+    # arctan2 folds once per extra image — verify against a
+    # sequential host replay per particle
+    got = np.asarray(lay.gather(ghosts, np.arctan2))
+    ref = v.copy()
+    for p in range(len(v)):
+        acc = v[p]
+        for _ in range(nimg[p] - 1):
+            acc = np.arctan2(acc, v[p])
+        ref[p] = acc
+    assert_allclose(got, ref, rtol=1e-12)
     with pytest.raises(NotImplementedError):
-        lay.gather(ghosts, np.arctan2)
+        lay.gather(ghosts, object())
 
 
 def test_sharded_force_matches_single(pmesh8):
@@ -378,3 +396,111 @@ def test_sharded_kdk_with_reshard_in_loop(pmesh8):
         return a[np.lexsort(a.T[::-1])]
     assert_allclose(keyed(X8, V8), keyed(X1, V1), atol=1e-4)
     assert not np.any(np.isnan(np.asarray(X8)))
+
+
+def test_sharded_gradient_units_boxsize(pmesh8):
+    """Derivative readouts/paints on the sharded path must return
+    SIMULATION-unit derivatives: the single-device kernel multiplies
+    the diff window by scale[d] = Nmesh/BoxSize (ops/paint.py
+    _kweight, reference _window_imp.c:108-244); the sharded path
+    computes in grid units and must re-apply the factor.  All other
+    tests use BoxSize == Nmesh (scale=1), which hides the factor."""
+    N, box = 16, 37.5
+    pm1 = ParticleMesh(Nmesh=[N] * 3, BoxSize=box, dtype='f8')
+    pm8 = ParticleMesh(Nmesh=[N] * 3, BoxSize=box, dtype='f8',
+                       procmesh=pmesh8)
+    rng = np.random.RandomState(5)
+    Q = np.asarray(pm1.generate_uniform_particle_grid(shift=0.0))
+    X = jnp.asarray(Q + rng.uniform(-1, 1, Q.shape) * box / N)
+    rho1 = pm1.paint(np.asarray(X))
+    lay = pm8.decompose(X)
+    rho8 = pm8.paint(X, layout=lay)
+    for d in range(3):
+        v1 = np.asarray(rho1.readout(np.asarray(X), gradient=d))
+        v8 = np.asarray(rho8.readout(X, layout=lay, gradient=d))
+        assert_allclose(v8, v1, atol=1e-12)
+    p1 = np.asarray(pm1.paint(np.asarray(X), gradient=1).value)
+    p8 = np.asarray(pm8.paint(X, layout=lay, gradient=1).value)
+    assert_allclose(p8, p1, atol=1e-12)
+    # position gradients through readout_vjp ride the same kernels
+    v = jnp.asarray(rng.uniform(1, 2, (N ** 3,)))
+    _, g1 = rho1.readout_vjp(np.asarray(X), v, out_self=False)
+    _, g8 = rho8.readout_vjp(X, v, out_self=False, layout=lay)
+    assert_allclose(np.asarray(g8), np.asarray(g1), atol=1e-12)
+
+
+def test_sharded_gradient_mode_force_boxsize(pmesh8):
+    """gradient-mode (QPM-family) force parity at BoxSize != Nmesh on
+    the catalog path, including the fused diffdir='all' sharded
+    readout (one exchange + one gather for all 3 derivatives)."""
+    from pmesh_tpu.models.fastpm import Solver
+    N, box = 16, 37.5
+    pm1 = ParticleMesh(Nmesh=[N] * 3, BoxSize=box, dtype='f8')
+    pm8 = ParticleMesh(Nmesh=[N] * 3, BoxSize=box, dtype='f8',
+                       procmesh=pmesh8)
+    rng = np.random.RandomState(11)
+    Q = np.asarray(pm1.generate_uniform_particle_grid(shift=0.0))
+    X = jnp.asarray(Q + rng.uniform(-1, 1, Q.shape) * box / N)
+    s1, s8 = Solver(pm1), Solver(pm8)
+    F1 = np.asarray(jax.jit(
+        lambda X: s1.force(X, mode='gradient'))(X))
+    F8 = np.asarray(jax.jit(
+        lambda X: s8.force(X, mode='gradient'))(X))
+    assert_allclose(F8, F1, atol=1e-11)
+    # and the spectral family stays exact at scale != 1
+    Fs1 = np.asarray(jax.jit(s1.force)(X))
+    Fs8 = np.asarray(jax.jit(s8.force)(X))
+    assert_allclose(Fs8, Fs1, atol=1e-11)
+
+
+def test_sharded_translate_affine(pmesh8):
+    """translate != 0 affines on the sharded paint/readout (the
+    Affine role, reference pmesh/window.py:18-55): the shift is
+    folded into the grid coordinates BEFORE the ghost plan, so the
+    kernel footprint of the shifted positions is exactly what the
+    channels cover."""
+    N = 16
+    pm1, X = _particles(N, seed=7)
+    pm8 = ParticleMesh(Nmesh=[N] * 3, BoxSize=float(N), dtype='f8',
+                       procmesh=pmesh8)
+    for amount in (0.5, -1.25, 3.0):
+        t1 = pm1.affine.shift(amount)
+        t8 = pm8.affine.shift(amount)
+        lay = pm8.decompose(X, transform=t8)
+        r1 = pm1.paint(np.asarray(X), transform=t1)
+        r8 = pm8.paint(X, layout=lay, transform=t8)
+        assert_allclose(np.asarray(r8.value), np.asarray(r1.value),
+                        atol=1e-12)
+        v1 = r1.readout(np.asarray(X), transform=t1)
+        v8 = r8.readout(X, layout=lay, transform=t8)
+        assert_allclose(np.asarray(v8), np.asarray(v1), atol=1e-12)
+    # translated derivative readout keeps simulation units too
+    t8 = pm8.affine.shift(0.75)
+    t1 = pm1.affine.shift(0.75)
+    lay = pm8.decompose(X, transform=t8)
+    r1 = pm1.paint(np.asarray(X), transform=t1)
+    r8 = pm8.paint(X, layout=lay, transform=t8)
+    g1 = r1.readout(np.asarray(X), transform=t1, gradient=0)
+    g8 = r8.readout(X, layout=lay, transform=t8, gradient=0)
+    assert_allclose(np.asarray(g8), np.asarray(g1), atol=1e-12)
+
+
+def test_measure_ghosts_uneven_npart(pmesh8):
+    """measure_ghosts pads npart % D != 0 with inert sentinels (the
+    same contract as decompose), so capacity='auto' and
+    Solver.tune_exchange work on any particle count."""
+    from pmesh_tpu.parallel import exchange as _ex
+    N = 16
+    pm1, X = _particles(N)
+    X = X[:-13]
+    g0 = jnp.asarray(X)[:, 0] * 1.0
+    counts, reach = _ex.measure_ghosts(pmesh8, g0, N, X.shape[0],
+                                       smoothing=1.0)
+    assert counts.max() > 0
+    pm8 = ParticleMesh(Nmesh=[N] * 3, BoxSize=float(N), dtype='f8',
+                       procmesh=pmesh8)
+    lay = pm8.decompose(X, capacity='auto')
+    assert float(lay.badness) == 0.0
+    assert_allclose(np.asarray(pm8.paint(X, layout=lay).value),
+                    np.asarray(pm1.paint(np.asarray(X)).value),
+                    atol=1e-12)
