@@ -180,15 +180,16 @@ class Solver(object):
         the initial state); no-op on a single device."""
         fpm = self.fpm
         if fpm.procmesh is None or fpm.procmesh.size <= 1 \
-                or not fpm._even_mesh:
+                or not (fpm._even_mesh or fpm._uneven1d):
             return None
         from ..parallel import exchange as _ex
         X = jnp.asarray(X)
         g0 = X[:, 0] * jnp.asarray(fpm.affine.scale[0], X.dtype)
         smoothing = fpm.resampler.support * 0.5
         D = fpm.procmesh.size
-        rows = int(fpm.Nmesh[0]) // D
-        kside = _ex._default_kside(smoothing, rows, D)
+        N0 = int(fpm.Nmesh[0])
+        rows = _ex._slab_rows(N0, D)
+        kside = _ex._default_kside(smoothing, rows, D, N0=N0)
         counts, reach = _ex.measure_ghosts(
             fpm.procmesh, g0, int(fpm.Nmesh[0]), X.shape[0],
             smoothing, kside=kside)
@@ -200,6 +201,14 @@ class Solver(object):
         capacity = max(16, int(np.ceil(float(counts.max())
                                        * float(slack))))
         self._exch_kwargs = dict(kside=kside, capacity=capacity)
+        # load accounting (reference get_exchange_cost/load roles,
+        # domain.py:125-136, 409-499): equal-count blocks balance
+        # particle work by construction; the residual skew from
+        # clustering (ghost traffic + slab paint work) is measured
+        # and REPORTED so a driver can decide to reshard
+        self.last_load = _ex.measure_load(
+            fpm.procmesh, g0, int(fpm.Nmesh[0]), smoothing,
+            kside=kside)
         return self._exch_kwargs
 
     # --- initial conditions ---
@@ -292,11 +301,23 @@ class Solver(object):
         if mode == 'gradient':
             phi = rhok.apply(tf.poisson()).c2r()
             Xb = jax.lax.optimization_barrier(X)
+            from ..parallel.exchange import (ShardedLayout,
+                                             readout_sharded)
             # gradient readouts return d/dpos in SIMULATION units
             # (the vjp convention), so no cell factor here
-            vals = tuple(
-                -phi.readout(Xb, layout=layout, gradient=d)
-                for d in range(fpm.ndim))
+            if isinstance(layout, ShardedLayout):
+                # fused: ONE exchange + ONE stencil program + ONE
+                # ghost gather for all ndim derivative readouts
+                a = fpm.affine
+                vals = readout_sharded(
+                    layout, phi.value, Xb, a.scale,
+                    fpm.resampler.window, diffdir='all',
+                    translate=a.translate)
+                vals = tuple(-v for v in vals)
+            else:
+                vals = tuple(
+                    -phi.readout(Xb, layout=layout, gradient=d)
+                    for d in range(fpm.ndim))
             return jnp.stack(vals, axis=-1) * factor
         elif mode != 'spectral':
             raise ValueError("mode must be 'spectral' or 'gradient'")
@@ -796,7 +817,7 @@ class Solver(object):
     def nbody_binned(self, disp, vel, time_steps, nslots=2,
                      rebase_every=4, step_drift=0.25,
                      factors='fastpm', scheme='symp2', fft='xla',
-                     force_mode='spectral'):
+                     force_mode='spectral', adaptive=False):
         """KDK loop on the binned state with periodic dense rebase:
         displacements stay within (-drift, 1+drift) cells FOREVER —
         no nv^3 cost wall, no silent mass loss (a rebase overflow or
@@ -807,7 +828,21 @@ class Solver(object):
         units); ``step_drift`` bounds |velocity * dt| per step
         (checked at every rebase by construction: escaping particles
         poison).  Returns (dslots, vslots, valid, overflow).
+
+        ``adaptive=True`` runs the superstep loop host-side and
+        MEASURES the needed slot count before every rebase
+        (ops/binned.needed_slots): a cell exceeding ``nslots`` grows
+        the state instead of poisoning it — the role of the
+        reference's any-clustering per-particle loop
+        (pmesh/_window_generics.h:21-72).  Each slot-count change
+        recompiles the step program once; deep runs grow K a handful
+        of times, so the cost is a few extra compiles, not per-step
+        work.  The returned state's slot count is ``len(dslots)``.
         """
+        if adaptive:
+            return self._nbody_binned_adaptive(
+                disp, vel, time_steps, nslots, rebase_every,
+                step_drift, factors, scheme, fft, force_mode)
         from ..ops import binned as _bn
         fac = _FACTORS[factors](self.cosmology) \
             if isinstance(factors, str) else factors
@@ -897,6 +932,104 @@ class Solver(object):
             return dslots, vslots, valid, overflow
 
         return run(dslots, vslots, valid, overflow)
+
+    def _nbody_binned_adaptive(self, disp, vel, time_steps, nslots,
+                               rebase_every, step_drift, factors,
+                               scheme, fft, force_mode):
+        """Host-driven superstep loop with measured slot growth (see
+        :meth:`nbody_binned` adaptive=True).  The KDK chunk between
+        rebases stays one jitted lax.scan; only the rebase boundary
+        syncs a scalar (the needed slot count) to the host."""
+        from ..ops import binned as _bn
+        fac = _FACTORS[factors](self.cosmology) \
+            if isinstance(factors, str) else factors
+        K1, D1s, K2 = leapfrog_factors(time_steps, fac, scheme)
+        K1, D1s, K2 = (a.astype(self.pm.dtype)
+                       for a in (K1, D1s, K2))
+        cell = float(self.pm.BoxSize[0] / self.pm.Nmesh[0])
+        drift = float(step_drift) * rebase_every
+        bounds = (-drift, 1.0 + drift)
+        nsteps = len(K1)
+        pmh = self.pm.procmesh if (self.pm.procmesh is not None
+                                   and self.pm.procmesh.size > 1
+                                   and self.pm._even_mesh) \
+            else None
+
+        def force_cells(dslots, valid):
+            F = self.force_binned(dslots, valid, bounds, fft=fft,
+                                  mode=force_mode)
+            return tuple(tuple(f / cell for f in slot) for slot in F)
+
+        chunk_cache = {}
+
+        def kdk_chunk(K, R):
+            # jitted per (slot count, chunk length): K changes are
+            # rare (growth events), R changes twice (body + remainder)
+            if (K, R) not in chunk_cache:
+                @jax.jit
+                def run(dslots, vslots, valid, coeffs):
+                    F = force_cells(dslots, valid)
+
+                    def step(carry, co):
+                        dslots, vslots, valid, F = carry
+                        k1, d1, k2 = co
+                        vslots = tuple(
+                            tuple(v + f * k1 for v, f in zip(vk, fk))
+                            for vk, fk in zip(vslots, F))
+                        dslots = tuple(
+                            tuple(s + v * d1 for s, v in zip(dk, vk))
+                            for dk, vk in zip(dslots, vslots))
+                        F = force_cells(dslots, valid)
+                        vslots = tuple(
+                            tuple(v + f * k2 for v, f in zip(vk, fk))
+                            for vk, fk in zip(vslots, F))
+                        return (dslots, vslots, valid, F), None
+
+                    (dslots, vslots, valid, F), _ = jax.lax.scan(
+                        step, (dslots, vslots, valid, F), coeffs)
+                    return dslots, vslots, valid
+                chunk_cache[(K, R)] = run
+            return chunk_cache[(K, R)]
+
+        need_cache = {}
+
+        def needed(dslots, valid, b):
+            K = len(dslots)
+            if (K, b) not in need_cache:
+                need_cache[(K, b)] = jax.jit(functools.partial(
+                    _bn.needed_slots, drift_bounds=b))
+            return int(need_cache[(K, b)](dslots, valid))
+
+        dslots, vslots, valid = _bn.from_lattice(disp, vel,
+                                                 nslots=nslots)
+        lo0 = float(jnp.min(jnp.stack([jnp.min(d) for dk in dslots
+                                       for d in dk])))
+        hi0 = float(jnp.max(jnp.stack([jnp.max(d) for dk in dslots
+                                       for d in dk])))
+        b0 = (min(lo0, 0.0), max(hi0, 1.0))
+        K = max(nslots, needed(dslots, valid, b0))
+        dslots, valid, (vslots,), overflow = _bn.rebase(
+            dslots, valid, b0, extras=(vslots,), nslots_out=K,
+            procmesh=pmh)
+        overflow = int(overflow)
+
+        R = int(rebase_every)
+        done = 0
+        while done < nsteps:
+            r = min(R, nsteps - done)
+            coeffs = (K1[done:done + r], D1s[done:done + r],
+                      K2[done:done + r])
+            dslots, vslots, valid = kdk_chunk(K, r)(
+                dslots, vslots, valid, coeffs)
+            done += r
+            Kout = max(K, needed(dslots, valid, bounds))
+            dslots, valid, (vslots,), ov = _bn.rebase(
+                dslots, valid, bounds, extras=(vslots,),
+                nslots_out=Kout, procmesh=pmh)
+            overflow += int(ov)
+            K = Kout
+        return dslots, vslots, valid, jnp.asarray(overflow,
+                                                  jnp.int32)
 
     def nbody_lattice(self, disp, vel, time_steps, bounds,
                       factors='fastpm', scheme='symp2',

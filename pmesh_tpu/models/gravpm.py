@@ -47,11 +47,9 @@ def run_sim(nmesh=64, boxsize=256.0, boost=2, resampler='tsc',
     if lattice and boost != 1:
         raise ValueError("lattice=True requires boost=1 (the force "
                          "mesh must equal the particle lattice)")
-    if force_mode != 'spectral' and not lattice:
-        raise ValueError(
-            "force_mode=%r is only wired on the lattice path; the "
-            "boosted/catalog path uses the spectral force family "
-            "(add --lattice)" % (force_mode,))
+    if force_mode not in ('spectral', 'gradient'):
+        raise ValueError("force_mode must be 'spectral' or "
+                         "'gradient', got %r" % (force_mode,))
     pm = ParticleMesh(BoxSize=boxsize, Nmesh=[nmesh] * 3,
                       resampler=resampler, dtype=dtype,
                       procmesh=procmesh)
@@ -97,7 +95,8 @@ def run_sim(nmesh=64, boxsize=256.0, boost=2, resampler='tsc',
 
     use_monitor = monitor if snapshot_times else None
     state = solver.nbody(state, time_steps, factors='fastpm',
-                         scheme='symp2', monitor=use_monitor)
+                         scheme='symp2', monitor=use_monitor,
+                         force_mode=force_mode)
     if round(float(afinal), 12) not in measured:
         measure(afinal, state)
     return state, spectra

@@ -41,7 +41,7 @@ import numpy as np
 from . import gridpm as _gp
 
 __all__ = ["from_lattice", "rebase", "paint_binned", "readout_binned",
-           "occupancy", "from_positions"]
+           "occupancy", "from_positions", "needed_slots", "grow_slots"]
 
 
 def from_lattice(disp, vel=None, nslots=2):
@@ -65,6 +65,54 @@ def occupancy(valid):
     tot = sum(jnp.sum(v) for v in valid)
     occ = sum(jnp.asarray(v) for v in valid)
     return tot, jnp.max(occ)
+
+
+def needed_slots(dslots, valid, drift_bounds):
+    """Max post-rebase cell occupancy of the current state — the slot
+    count a :func:`rebase` needs to fold the drift without overflow.
+
+    The counting half of the rebase with no payload movement (one
+    int32 field instead of (3+extras)*K payload fields), so an
+    adaptive driver can measure BEFORE committing to a slot count and
+    grow instead of poisoning — the recovery the reference never
+    needs because its per-particle C loop handles any clustering
+    (pmesh/_window_generics.h:21-72).  Jittable; host-sync the result
+    to choose a static nslots_out.
+    """
+    ndim = len(dslots[0])
+    axes = tuple(range(ndim))
+    offsets = _drift_offsets(drift_bounds, ndim)
+    count = jnp.zeros(dslots[0][0].shape, jnp.int32)
+    for k in range(len(dslots)):
+        for off in offsets:
+            sel = valid[k] > 0
+            for d in range(ndim):
+                sel = sel & (jnp.floor(dslots[k][d]) == off[d])
+            count = count + jnp.roll(sel, off, axes).astype(jnp.int32)
+    return jnp.max(count)
+
+
+def grow_slots(valid, *slot_fields, nslots_new=None):
+    """Append empty slots so a K-slot state becomes K'-slot (K' >= K).
+
+    ``slot_fields``: any number of per-slot structures matching
+    ``valid``'s nesting one level up (tuples over slots of per-axis
+    tuples).  Returns (valid', fields'...)."""
+    K = len(valid)
+    Kn = int(nslots_new)
+    if Kn < K:
+        raise ValueError("grow_slots cannot shrink (%d -> %d); rebase "
+                         "with nslots_out instead" % (K, Kn))
+    shape = valid[0].shape
+    dtype = valid[0].dtype
+    pad_v = tuple(jnp.zeros(shape, dtype) for _ in range(Kn - K))
+    out = [tuple(valid) + pad_v]
+    for f in slot_fields:
+        ndim = len(f[0])
+        pad = tuple(tuple(jnp.zeros(shape, dtype) for _ in range(ndim))
+                    for _ in range(Kn - K))
+        out.append(tuple(f) + pad)
+    return tuple(out)
 
 
 def _drift_offsets(drift_bounds, ndim):

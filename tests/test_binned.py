@@ -3,6 +3,7 @@ the general-position regime without scatters, and the never-drop-mass
 guarantee (rebase absorbs drift; overflow/escape poisons, never
 warns-after-the-fact)."""
 import numpy as np
+import pytest
 from numpy.testing import assert_allclose
 import jax
 import jax.numpy as jnp
@@ -282,3 +283,49 @@ def test_force_binned_gradient_mode():
     for d in range(3):
         np.testing.assert_array_equal(np.asarray(Fg[0][d]),
                                       np.asarray(Fl[d]))
+
+
+@pytest.mark.slow
+def test_nbody_binned_adaptive_growth():
+    """A cell exceeding the slot budget mid-run GROWS the state
+    instead of poisoning it (adaptive=True measures the needed slot
+    count before every rebase) — the any-clustering role of the
+    reference's per-particle loop (_window_generics.h:21-72).
+    Parity: the adaptive run from nslots=1 must equal a roomy
+    non-adaptive run bit-for-bit in the painted density."""
+    N = 8
+    pm = ParticleMesh(Nmesh=[N] * 3, BoxSize=float(N), dtype='f8')
+    solver = Solver(pm)
+    disp = tuple(jnp.full((N, N, N), 0.5) for _ in range(3))
+    # even x-columns drift right (total ~1.1 cells over the run:
+    # naive D1 factors sum to 2.24) while odd columns stand still:
+    # movers catch the stationary column's cell mid-run
+    x = jnp.arange(N)
+    vx = jnp.where(x % 2 == 0, 0.5, 0.0)[:, None, None] \
+        * jnp.ones((N, N, N))
+    vel = (vx, jnp.zeros((N, N, N)), jnp.zeros((N, N, N)))
+    steps = np.linspace(0.3, 0.8, 6)
+    kw = dict(rebase_every=1, step_drift=1.0, factors='naive')
+
+    # non-adaptive with one slot: overflow reported, state poisoned
+    _, _, _, ov1 = solver.nbody_binned(disp, vel, steps, nslots=1,
+                                       **kw)
+    assert int(ov1) > 0
+
+    # adaptive from the same one slot: grows, never poisons
+    da, vsa, vaa, ova = solver.nbody_binned(disp, vel, steps,
+                                            nslots=1, adaptive=True,
+                                            **kw)
+    assert int(ova) == 0
+    assert len(da) > 1                      # it actually grew
+    tot, occ = bn.occupancy(vaa)
+    assert float(tot) == N ** 3             # mass conserved
+    assert float(occ) == float(len(da)) or float(occ) <= len(da)
+
+    # parity with a roomy non-adaptive run
+    d4, vs4, va4, ov4 = solver.nbody_binned(disp, vel, steps,
+                                            nslots=4, **kw)
+    assert int(ov4) == 0
+    rho_a = np.asarray(bn.paint_binned(da, vaa, bounds=(-1.0, 2.0)))
+    rho_4 = np.asarray(bn.paint_binned(d4, va4, bounds=(-1.0, 2.0)))
+    assert_allclose(rho_a, rho_4, atol=1e-9)
