@@ -175,6 +175,167 @@ def main():
     dt_binned = guarded(measure_binned, 256)
     dt_binned512 = guarded(measure_binned, 512)
 
+    def measure_pipe_chain(spec_dtype=None, mode='spectral'):
+        """The MEASURED per-chip compute chain of the 8-chip 1024^3
+        sharded force step (the (128, 1024, 1024) slab shapes): paint
+        + zy-fwd ct2 + dual x-inverse with folded 1/k^2 + zy-inverses
+        + 3 readouts, chain-differenced — tools/tune_slab.py 'pipe'
+        inlined so the driver's bench record carries the number."""
+        from pmesh_tpu.ops import fft_mxu as fm
+        from pmesh_tpu.ops import gridpm_pallas as gpp
+        ROWS, N1, N2 = 128, 1024, 1024
+        Zm = N2 // 2
+        ks = jax.random.split(jax.random.key(0), 3)
+        dispc = tuple(0.05 + 1.9 * jax.random.uniform(
+            kk, (ROWS, N1, N2), dtype=jnp.float32) for kk in ks)
+        import numpy as _np
+        kd = []
+        for n in (ROWS * 8, N1):
+            w = _np.fft.fftfreq(n) * 2 * _np.pi
+            kd.append(tuple((1 / 6 * (8 * _np.sin(w)
+                                      - _np.sin(2 * w))).tolist()))
+        wz2 = _np.fft.rfftfreq(N2) * 2 * _np.pi
+        kdz = tuple((1 / 6 * (8 * _np.sin(wz2)
+                              - _np.sin(2 * wz2))).tolist())
+        wz = fm._dft_half_np(N2, Zm)
+        wyf = fm._ct_fwd_mats_np(N1)
+        wxi = fm._ct_inv_mats_np(N1)
+        wxg = fm._ct_inv_mats_np(N1, fold_kvec=kd[1])
+        wyi = fm._ct_inv_mats_np(N1)
+        wyg = fm._ct_inv_mats_np(N1, fold_kvec=kd[1])
+        ABp = fm._irfft_mats_np(N2, Zm, nyquist_last=False)
+        ABg = fm._irfft_mats_np(N2, Zm,
+                                grad_kvec=_np.asarray(kdz[:Zm]),
+                                nyquist_last=False)
+        k2t = (_np.arange(N1, dtype=_np.float32) + 1.0,
+               _np.arange(ROWS, dtype=_np.float32) + 1.0,
+               _np.arange(Zm, dtype=_np.float32) + 1.0)
+        sdt = spec_dtype or jnp.float32
+
+        def chain_spectral(c):
+            disp = c
+            rho = gpp.paint_fused_parts(disp, 1.0, 0, 2, 'cic')
+            pr, pi, nq = fm._zy_fwd_ct2_call(rho, N2, Zm, wz, wyf,
+                                             None, out_dtype=sdt)
+            tr = jnp.swapaxes(pr, 0, 1)
+            ti = jnp.swapaxes(pi, 0, 1)
+            sr, si, gr, gi = fm._xct_call_multi(
+                tr, ti, wxi, 1.0, None, inverse=True, wx2=wxg,
+                k2=k2t, out_dtype=sdt)
+            sr = jnp.swapaxes(sr, 0, 1); si = jnp.swapaxes(si, 0, 1)
+            gr = jnp.swapaxes(gr, 0, 1); gi = jnp.swapaxes(gi, 0, 1)
+            fy, fz = fm._zy_inv_ct2_call_dual(sr, si, wyg, ABp, wyi,
+                                              ABg, N2, None)
+            fx = fm._zy_inv_ct2_call(gr, gi, wyi, ABp, N2, None)
+            return tuple(gpp.readout_fused_parts(
+                (m,), disp, 0, 2, 'cic')[0] for m in (fx, fy, fz))
+
+        def chain_gradient(c):
+            # the QPM-family chain: ONE Poisson inverse (x-pass with
+            # folded 1/k^2, one zy-inverse) + 3-derivative readout
+            disp = c
+            rho = gpp.paint_fused_parts(disp, 1.0, 0, 2, 'cic')
+            pr, pi, nq = fm._zy_fwd_ct2_call(rho, N2, Zm, wz, wyf,
+                                             None, out_dtype=sdt)
+            tr = jnp.swapaxes(pr, 0, 1)
+            ti = jnp.swapaxes(pi, 0, 1)
+            sr, si = fm._xct_call_multi(tr, ti, wxi, 1.0, None,
+                                        inverse=True, k2=k2t,
+                                        out_dtype=sdt)
+            sr = jnp.swapaxes(sr, 0, 1); si = jnp.swapaxes(si, 0, 1)
+            phi = fm._zy_inv_ct2_call(sr, si, wyi, ABp, N2, None)
+            return gpp.readout_fused_parts((phi,), disp, 0, 2,
+                                           'cic', diffdir='all')
+
+        chain = chain_gradient if mode == 'gradient' \
+            else chain_spectral
+
+        def make(L):
+            @jax.jit
+            def go(c):
+                def body(c, _):
+                    out = chain(c)
+                    tie = jnp.sum(out[0].reshape(-1)[:8])
+                    return tuple(x + (0.0 * tie).astype(x.dtype)
+                                 for x in c), None
+                c, _ = jax.lax.scan(body, c, None, length=L)
+                return c
+            return go
+
+        def sync2(x):
+            return float(jnp.sum(x[0].reshape(-1)[:8]))
+        g1, g2 = make(1), make(5)
+        sync2(g1(dispc)); sync2(g2(dispc))
+        t0 = time.perf_counter(); sync2(g1(dispc))
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter(); sync2(g2(dispc))
+        tb = time.perf_counter() - t0
+        return (tb - ta) / 4 * 1000.0
+
+    pipe_ms = guarded(measure_pipe_chain)
+    pipe_bf16_ms = guarded(measure_pipe_chain, jnp.bfloat16)
+    pipe_grad_ms = guarded(measure_pipe_chain, None, 'gradient')
+    # the 8-chip projection: measured per-chip compute + the pencil
+    # a2a payload (3 f32 (r,i) pairs, 7/8 off-chip) at a stated ICI
+    # bandwidth.  v5e ICI is ~180 GB/s/chip aggregate; 100 GB/s
+    # effective all_to_all is the conservative anchor, with the
+    # 50/200 GB/s bounds recorded alongside.
+    PAIR_GB = 2 * 128 * 1024 * 512 * 4 / 1e9
+    a2a_gb = 3 * PAIR_GB * 7 / 8
+
+    def project(pipe, half=False, pairs=3):
+        if not isinstance(pipe, float):
+            return pipe
+        # gradient mode ships 2 spectrum pairs (forward + potential)
+        # instead of the spectral triple's 3
+        gb = a2a_gb * (0.5 if half else 1.0) * (pairs / 3.0)
+        return {
+            "at_50_GBps": round(pipe + gb / 50 * 1000, 1),
+            "at_100_GBps": round(pipe + gb / 100 * 1000, 1),
+            "at_200_GBps": round(pipe + gb / 200 * 1000, 1),
+        }
+
+    def measure_imbalance():
+        """clustered-state ghost/paint imbalance on an 8-device mesh
+        (reference get_exchange_cost role, domain.py:125-136) — runs
+        in a CPU subprocess (the TPU here is a single chip)."""
+        import json as _json
+        import subprocess
+        import os as _os
+        code = (
+            "import sys; sys.path.insert(0, %r)\n"
+            "import numpy as np, jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "import jax.numpy as jnp\n"
+            "from pmesh_tpu.parallel.pmesh import ProcessMesh\n"
+            "from pmesh_tpu.parallel import exchange as ex\n"
+            "N = 128\n"
+            "rng = np.random.RandomState(3)\n"
+            "n = N ** 2 * 32\n"
+            "g0 = np.concatenate([\n"
+            "    rng.uniform(0, N, n // 2),\n"
+            "    rng.normal(N * 0.37, 2.5, n // 2) %% N])\n"
+            "pm = ProcessMesh(jax.devices()[:8])\n"
+            "order = np.argsort(ex.home_block(jnp.asarray(g0), N, 8),"
+            " stable=True)\n"
+            "load = ex.measure_load(pm, jnp.asarray(g0[order]), N,"
+            " smoothing=1.0)\n"
+            "print(__import__('json').dumps("
+            "{'imbalance': load['imbalance'],"
+            " 'ghosts_recv_max': int(load['ghosts_recv'].max())}))\n"
+        ) % (_os.path.dirname(_os.path.abspath(__file__)),)
+        env = dict(_os.environ)
+        env['JAX_PLATFORMS'] = 'cpu'
+        env['XLA_FLAGS'] = (env.get('XLA_FLAGS', '')
+                            + ' --xla_force_host_platform_device_'
+                              'count=8')
+        out = subprocess.run(['python', '-c', code], env=env,
+                             capture_output=True, text=True,
+                             timeout=300)
+        return _json.loads(out.stdout.strip().splitlines()[-1])
+
+    imbalance = guarded(lambda: measure_imbalance()['imbalance'])
+
     mp_per_s = (N ** 3 / 1e6) / (dt / 1000.0)
     result = {
         "metric": "pm_gravity_step_512^3_ms",
@@ -193,10 +354,28 @@ def main():
             "realistic_nv6_gradient_step_ms": dt_real_grad,
             "binned_step_256^3_ms": dt_binned,
             "binned_step_512^3_ms": dt_binned512,
-            # PROJECTED, not measured: per-chip slab kernels timed on
-            # one chip (chain-differenced; tools/tune_slab.py 'pipe')
-            # + stated a2a assumptions; see PLAN.md round-3 table
-            "projected_1024^3_v5e8_step_ms": "see PLAN.md round 3",
+            # MEASURED per-chip compute chain of the sharded 1024^3
+            # step at the (128, 1024, 1024) slab shapes (the 8-chip
+            # per-chip work), chain-differenced on this chip
+            "pipe_chain_per_chip_ms": pipe_ms,
+            "pipe_chain_per_chip_bf16_spectra_ms": pipe_bf16_ms,
+            # gradient (QPM-family) chain: ONE Poisson inverse + the
+            # 3-derivative readout; ships 2 spectrum pairs on ICI
+            "pipe_chain_grad_per_chip_ms": pipe_grad_ms,
+            # measured compute + projected pencil-a2a (3 f32 pairs,
+            # 7/8 off-chip = 1.41 GB/step/chip; x0.5 for bf16,
+            # x2/3 for gradient mode) at stated ICI bandwidths —
+            # multi-chip hardware is not reachable from this harness
+            "projected_1024^3_v5e8_step_ms": project(pipe_ms),
+            "projected_1024^3_v5e8_bf16_spectra_ms": project(
+                pipe_bf16_ms, half=True),
+            "projected_1024^3_v5e8_gradient_ms": project(
+                pipe_grad_ms, pairs=2),
+            # clustered-state ghost/paint-work imbalance across an
+            # 8-device mesh (reference get_exchange_cost role):
+            # max/mean of per-device stencil work after an equal-
+            # count reshard of a half-clustered state
+            "ghost_imbalance_clustered_8dev": imbalance,
             "particles_Mps": round(mp_per_s, 1),
             "device": str(jax.devices()[0]),
         },

@@ -78,6 +78,14 @@ _UNROLL_LIMIT = 80
 # mesh plane live — its unroll budget is tuned separately (the
 # production 27-offset chunk sits right at the shared limit)
 _UNROLL_LIMIT_MULTI = 80
+# diffdir='all' in ONE kernel (3 accumulators sharing each plane
+# roll) measures SLOWER than 3 single-diff passes at the production
+# (128, 1024, 1024) shape — 22.6 ms vs 13.3 ms, any unroll, 122 MB
+# VMEM (tools/tune_slab.py multi_unroll, v5e) — the triple-height
+# VMEM working set costs more than the shared rolls save.  Default
+# to the separate passes; the fused kernel stays for A/B and for
+# interpret-mode tests.
+_MULTI_FUSED = False
 
 
 def _cdtype(dtype):
@@ -108,11 +116,14 @@ def _interpret():
     return jax.default_backend() != 'tpu'
 
 
-def _params():
+def _params(vmem_mb=112):
     # v5e has 128 MiB of VMEM; the default scoped limit is 16 MiB.
     # 112 MB: the bf16 1024-slab paint's true scoped footprint is
-    # ~101 MB (f32 upcast temps the 100 MB limit rejected)
-    return pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024)
+    # ~101 MB (f32 upcast temps the 100 MB limit rejected).  The
+    # 3-output multi-diff readout at 1024-planes needs 115.4 MB
+    # (measured scoped-vmem OOM at 112) — it passes 122.
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=vmem_mb * 1024 * 1024)
 
 
 def _plane_spec(n1, n2, offset=0):
@@ -198,10 +209,13 @@ def readout_fused_ext(meshes_ext, disp, vmin, vmax, window,
         # the unrolled body scales with the OUTPUT count too (each
         # offset rolls nmesh planes and feeds nout accumulators):
         # 3-mesh 1024-plane chunks above the limit crash the Mosaic
-        # register allocator
+        # register allocator.  Planes narrower than one 128-lane tile
+        # always unroll: tpu.dynamic_rotate rejects sub-tile vectors
+        # (measured Mosaic crash on 8x8 planes) and the register
+        # pressure argument vanishes at those sizes anyway.
         unroll = (cnv * nv * nv * max(nmesh, nout)
                   <= (_UNROLL_LIMIT_MULTI if multi
-                      else _UNROLL_LIMIT))
+                      else _UNROLL_LIMIT)) or N2 < 128
 
         cdt = _cdtype(dtype)
 
@@ -316,7 +330,7 @@ def readout_fused_ext(meshes_ext, disp, vmin, vmax, window,
             out_shape=tuple(jax.ShapeDtypeStruct((out_rows, N1, N2),
                                                  dtype)
                             for _ in range(nout)),
-            compiler_params=_params(),
+            compiler_params=_params(122 if multi else 112),
             interpret=_interpret(),
         )(disp[0], disp[1], disp[2], *margs)
 
@@ -339,6 +353,12 @@ def readout_fused_parts(meshes, disp, vmin, vmax, window,
     halo planes (halos = per-mesh (lo, hi) arrays, lo covering mesh
     planes [vmin, -1] and hi covering [nrows, nrows-1+vmax]).
     """
+    if diffdir == 'all' and not _MULTI_FUSED and not _interpret():
+        # measured: 3 single-diff passes beat the fused 3-accumulator
+        # kernel at production shapes (see _MULTI_FUSED note)
+        return tuple(readout_fused_parts(
+            meshes, disp, vmin, vmax, window, diffdir=d,
+            halos=halos)[0] for d in range(len(disp)))
     meshes = tuple(jnp.asarray(m) for m in meshes)
     disp = tuple(jnp.asarray(s) for s in disp)
     nrows = disp[0].shape[0]
@@ -505,7 +525,9 @@ def paint_fused_ext(disp_ext, mass_ext, vmin, vmax, window,
         base = vmax - v1
 
         nv = vmax - vmin + 1
-        unroll = cnv * nv * nv <= _UNROLL_LIMIT
+        # narrow planes always unroll (see readout: dynamic_rotate
+        # rejects sub-128-lane vectors)
+        unroll = cnv * nv * nv <= _UNROLL_LIMIT or N2 < 128
 
         cdt = _cdtype(dtype)
 

@@ -78,14 +78,23 @@ def main(N=256):
         return np.asarray(k), np.asarray(p)
 
     k, p32 = run('mxu')
-    _, pbf = run('mxu_bf16')
-    sel = np.isfinite(p32) & (p32 > 0)
-    rel = np.abs(pbf[sel] / p32[sel] - 1.0)
-    print("k range: %.3g .. %.3g" % (k[sel].min(), k[sel].max()))
-    print("max |P_bf16/P_f32 - 1| = %.3e" % rel.max())
-    print("mean = %.3e" % rel.mean())
-    assert rel.max() < 2e-3, ("bf16 P(k) drift regressed beyond "
-        "the recorded 1.05e-3 level")
+    sel = None
+    for mode, bar in (('mxu_bf16', 2e-3), ('mxu_bf16s', 2e-3)):
+        # mxu_bf16: bf16 DFT matmuls end to end (preview mode).
+        # mxu_bf16s: f32 matmuls, bf16 inter-pass spectrum STORAGE —
+        # the halved-HBM/halved-ICI production option; its drift
+        # budget must be quantified over a real integration, not
+        # just the per-mode rounding test (tests/test_fft_mxu.py).
+        _, pbf = run(mode)
+        sel = np.isfinite(p32) & (p32 > 0)
+        rel = np.abs(pbf[sel] / p32[sel] - 1.0)
+        print("[%s] k range: %.3g .. %.3g"
+              % (mode, k[sel].min(), k[sel].max()))
+        print("[%s] max |P/P_f32 - 1| = %.3e" % (mode, rel.max()))
+        print("[%s] mean = %.3e" % (mode, rel.mean()))
+        assert rel.max() < bar, (
+            "%s P(k) drift %.3e beyond the %.0e bar"
+            % (mode, rel.max(), bar))
     print("bf16 P(k) validation PASSED")
 
 
