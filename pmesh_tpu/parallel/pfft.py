@@ -226,6 +226,128 @@ def _c2r_uneven(pmesh, value, Nmesh, real_dtype, norm):
     return out
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def _r2c_pencil(pmesh, value, c2c, norm):
+    """Pencil r2c over the 2-d (npx, npy) process grid — the
+    shard_map analog of the reference's default pfft decomposition
+    (pfft TRANSPOSED_OUT pencils, reference pm.py:1319-1327,
+    1409-1411), two all_to_alls per transform:
+
+      real block   (Nx/px, Ny/py, ..., Nz)   z complete
+      rfft z...    (Nx/px, Ny/py, ..., Zh)   pad Zh -> Zp = k*py
+      a2a 'y' (split z, concat y)
+                   (Nx/px, Ny, ..., Zp/py)   y complete; fft y
+      a2a 'x' (split y, concat x)
+                   (Nx, Ny/px, ..., Zp/py)   x complete; fft x
+
+    yielding transposed pencils P(None, 'x', ..., 'y'): the first
+    axis whole, the second split over 'x' and the compressed last
+    axis split over 'y'.  Only the last axis is ever padded (by
+    < py dead frequency columns), so no zero row enters a DFT and
+    the all_to_all payload overhead is (Zp-Zh)/Zh ~ py/Nz.
+    """
+    ndim = value.ndim
+    ax0, ax1 = pmesh.axes
+    px, py = pmesh.grid
+    last = ndim - 1
+
+    def local(r):
+        if c2c:
+            c = jnp.fft.fftn(r, axes=tuple(range(2, ndim)))
+        else:
+            c = jnp.fft.rfftn(r, axes=tuple(range(2, ndim)))
+        zh = c.shape[last]
+        zp = -(-zh // py) * py
+        if zp != zh:
+            pad = [(0, 0)] * ndim
+            pad[last] = (0, zp - zh)
+            c = jnp.pad(c, pad)
+        c = jax.lax.all_to_all(c, ax1, split_axis=last, concat_axis=1,
+                               tiled=True)
+        c = jnp.fft.fft(c, axis=1)
+        c = jax.lax.all_to_all(c, ax0, split_axis=1, concat_axis=0,
+                               tiled=True)
+        c = jnp.fft.fft(c, axis=0)
+        return c * jnp.asarray(norm, dtype=c.real.dtype)
+
+    spec_in = P(ax0, ax1, *([None] * (ndim - 2)))
+    spec_out = P(None, ax0, *([None] * (ndim - 3)), ax1)
+    fn = shard_map(local, mesh=pmesh.mesh, in_specs=spec_in,
+                   out_specs=spec_out)
+    out = fn(value)
+    # slice off the dead padded frequencies (global: the layout of
+    # the uneven true extent is XLA's to derive)
+    if c2c:
+        zh = value.shape[last]
+    else:
+        zh = value.shape[last] // 2 + 1
+    if out.shape[last] != zh:
+        out = jax.lax.slice_in_dim(out, 0, zh, axis=last)
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def _c2r_pencil(pmesh, value, Nmesh, real_dtype, norm):
+    """Inverse of :func:`_r2c_pencil` (same two all_to_alls run
+    backwards; the padded tail is re-created globally so the splits
+    stay even, and sliced before the final irfft)."""
+    ndim = value.ndim
+    ax0, ax1 = pmesh.axes
+    px, py = pmesh.grid
+    last = ndim - 1
+    c2c = _is_c2c(real_dtype)
+    zh = int(value.shape[last])
+    zp = -(-zh // py) * py
+    if zp != zh:
+        pad = [(0, 0)] * ndim
+        pad[last] = (0, zp - zh)
+        value = jnp.pad(value, pad)
+
+    def local(c):
+        c = jnp.fft.ifft(c, axis=0)
+        c = jax.lax.all_to_all(c, ax0, split_axis=0, concat_axis=1,
+                               tiled=True)
+        c = jnp.fft.ifft(c, axis=1)
+        c = jax.lax.all_to_all(c, ax1, split_axis=1, concat_axis=last,
+                               tiled=True)
+        if c.shape[last] != zh:
+            c = jax.lax.slice_in_dim(c, 0, zh, axis=last)
+        if c2c:
+            r = jnp.fft.ifftn(c, axes=tuple(range(2, ndim)))
+            r = r.astype(real_dtype)
+        else:
+            r = jnp.fft.irfftn(c, axes=tuple(range(2, ndim)),
+                               s=tuple(Nmesh[2:]))
+            r = r.astype(real_dtype)
+        return r * jnp.asarray(norm, dtype=r.real.dtype)
+
+    spec_in = P(None, ax0, *([None] * (ndim - 3)), ax1)
+    spec_out = P(ax0, ax1, *([None] * (ndim - 2)))
+    fn = shard_map(local, mesh=pmesh.mesh, in_specs=spec_in,
+                   out_specs=spec_out)
+    return fn(value)
+
+
+def pencil_ok(pmesh, Nmesh, ndim):
+    """True when the shard_map pencil transforms apply: a 2-d process
+    grid, >= 3-d mesh, and even pencil splits (Nx % px, Ny % py for
+    the real pencils; Ny % px for the spectral ones)."""
+    if not getattr(pmesh, 'is2d', False) or ndim < 3:
+        return False
+    px, py = pmesh.grid
+    return (int(Nmesh[0]) % px == 0 and int(Nmesh[1]) % py == 0
+            and int(Nmesh[1]) % px == 0)
+
+
+def r2c_pencil(pmesh, value, norm):
+    return _r2c_pencil(pmesh, value, _is_c2c(value.dtype), float(norm))
+
+
+def c2r_pencil(pmesh, value, Nmesh, real_dtype, norm):
+    return _c2r_pencil(pmesh, value, tuple(int(n) for n in Nmesh),
+                       jnp.dtype(real_dtype), float(norm))
+
+
 def r2c(pmesh, value, norm):
     """Forward transform of a slab-sharded global array; returns the
     transposed-layout complex global array."""

@@ -108,6 +108,14 @@ class ProcessMesh(object):
         if ndim < 2:
             return P(*([None] * ndim))
         if self.is2d:
+            if ndim >= 3:
+                # the pencil-FFT output layout (parallel/pfft
+                # _r2c_pencil): first axis whole, second split over
+                # the first grid axis, compressed last axis split
+                # over the second (pfft TRANSPOSED_OUT, reference
+                # pm.py:1409-1411)
+                return P(None, self.axes[0],
+                         *([None] * (ndim - 3)), self.axes[1])
             return P(self.axes[1], self.axes[0],
                      *([None] * (ndim - 2)))
         return P(None, self.axis, *([None] * (ndim - 2)))

@@ -155,8 +155,8 @@ class Field(object):
         if sharding is not None and not isinstance(
                 value, jax.core.Tracer):
             value = jax.device_put(value, sharding)
-        elif pm._uneven1d and not isinstance(
-                value, jax.core.Tracer):
+        elif ((pm._uneven1d or pm._pencil2d)
+              and not isinstance(value, jax.core.Tracer)):
             # uneven extents: device_put rejects uneven NamedShardings
             # but with_sharding_constraint inside jit accepts them —
             # XLA derives the best divisor block split (far below the
@@ -985,7 +985,32 @@ class ParticleMesh(object):
             # the process mesh (reference: uneven pfft edges,
             # pm.py:1319-1327)
             return self.procmesh.replicated_sharding(self.ndim)
-        return self._named_sharding_for(field_type)
+        sh = self._named_sharding_for(field_type)
+        if self._pencil2d:
+            # pencil transposed layouts split the compressed last
+            # axis (Zh = Nz//2+1, usually odd) over the second grid
+            # axis; device_put rejects the uneven block, so route
+            # through _constrain_uneven in Field.__init__
+            shape, _ = self._shape_dtype(field_type)
+            try:
+                sh.shard_shape(tuple(int(n) for n in shape))
+            except (ValueError, AssertionError):
+                # fall back to splitting the second axis over BOTH
+                # grid axes (even, device_put-able, still a full
+                # D-way split); inside jit the pencil pipelines
+                # compose on the shard_map layouts and never pay
+                # this at-rest reshard
+                from jax.sharding import (NamedSharding as _NS,
+                                          PartitionSpec as _P)
+                alt = _NS(self.procmesh.mesh,
+                          _P(None, tuple(self.procmesh.axes),
+                             *([None] * (self.ndim - 2))))
+                try:
+                    alt.shard_shape(tuple(int(n) for n in shape))
+                    return alt
+                except (ValueError, AssertionError):
+                    return None
+        return sh
 
     def _named_sharding_for(self, field_type):
         if issubclass(field_type, RealField):
@@ -1025,14 +1050,23 @@ class ParticleMesh(object):
                 return _pfft.r2c(self.procmesh, value,
                                  norm=1.0 / float(np.prod(self.Nmesh)))
             if self._pencil2d:
-                # 2-d pencil grid: per-axis DFT matmuls — XLA
+                from .parallel import pfft as _pfft
+                if _pfft.pencil_ok(self.procmesh, self.Nmesh,
+                                   self.ndim):
+                    # shard_map pencil transform: two explicit
+                    # all_to_alls (the pfft TRANSPOSED_OUT scheme,
+                    # reference pm.py:1409-1411)
+                    return _pfft.r2c_pencil(
+                        self.procmesh, value,
+                        norm=1.0 / float(np.prod(self.Nmesh)))
+                # 2-d fields / odd splits: per-axis DFT matmuls — XLA
                 # partitions each contraction over the mesh (fft
                 # thunks RET_CHECK the partitioned layouts GSPMD
                 # assigns inside a fused step); the constraint lands
                 # the transposed pencil layout
                 out = _fft.r2c_matmul(
                     value, norm=1.0 / float(np.prod(self.Nmesh)))
-                return jax.lax.with_sharding_constraint(
+                return _constrain_uneven(
                     out, self.procmesh.transposed_sharding(self.ndim))
             # uneven mesh: GSPMD-global transform on the replicated
             # layout (jax rejects uneven block NamedShardings)
@@ -1049,6 +1083,12 @@ class ParticleMesh(object):
                                  self._rtype,
                                  norm=float(np.prod(self.Nmesh)))
             if self._pencil2d:
+                from .parallel import pfft as _pfft
+                if _pfft.pencil_ok(self.procmesh, self.Nmesh,
+                                   self.ndim):
+                    return _pfft.c2r_pencil(
+                        self.procmesh, value, self.Nmesh, self._rtype,
+                        norm=float(np.prod(self.Nmesh)))
                 out = _fft.c2r_matmul(value, self.Nmesh, self._rtype,
                                       norm=float(np.prod(self.Nmesh)))
                 return jax.lax.with_sharding_constraint(

@@ -35,6 +35,32 @@ def test_sharded_r2c_matches_single(pmesh8):
     assert c8.value.sharding.spec == pmesh8.transposed_spec(3)
 
 
+def test_pencil_shardmap_fft(pmesh8):
+    """The shard_map pencil transforms (parallel/pfft _r2c_pencil,
+    the pfft TRANSPOSED_OUT two-all_to_all scheme, reference
+    pm.py:1409-1411): parity with single-device across anisotropic
+    extents, odd compressed axes (Zh padded to the grid), and c2c."""
+    from pmesh_tpu.parallel import pfft
+    pm2d = ProcessMesh(jax.devices()[:8], shape=(2, 4))
+    rng = np.random.RandomState(7)
+    for Nmesh, dtype in (([16, 8, 12], 'f8'),    # anisotropic
+                         ([8, 8, 13], 'f8'),     # odd z: Zh=7 pads
+                         ([8, 8, 8], 'c16')):    # complex-to-complex
+        pmp = ParticleMesh(Nmesh=Nmesh, BoxSize=16., dtype=dtype,
+                           procmesh=pm2d)
+        pm1 = ParticleMesh(Nmesh=Nmesh, BoxSize=16., dtype=dtype)
+        assert pfft.pencil_ok(pm2d, pmp.Nmesh, 3)
+        v = rng.normal(size=Nmesh)
+        if dtype == 'c16':
+            v = v + 1j * rng.normal(size=Nmesh)
+        cp = pmp.create(type='real', value=v).r2c()
+        c1 = pm1.create(type='real', value=v).r2c()
+        assert_allclose(np.asarray(cp.numpy()), np.asarray(c1.numpy()),
+                        atol=1e-12)
+        back = cp.c2r()
+        assert_allclose(np.asarray(back.numpy()), v, atol=1e-12)
+
+
 def test_sharded_roundtrip(pmesh8):
     pm8 = ParticleMesh(BoxSize=8.0, Nmesh=[16, 16, 16], procmesh=pmesh8)
     rng = np.random.RandomState(1)
@@ -176,8 +202,11 @@ def test_pencil2d_process_mesh(pmesh8):
     # real pencils over both grid axes
     assert rho.value.sharding.spec[:2] == ('x', 'y')
     c = rho.r2c()
-    # transposed pencil layout: distributed axes swap
-    assert c.value.sharding.spec[:2] == ('y', 'x')
+    # transposed pencil layout (pfft TRANSPOSED_OUT): first axis
+    # whole; at rest the odd compressed axis folds its split into
+    # the second axis (P(None, ('x','y'), None))
+    spec = c.value.sharding.spec
+    assert spec[0] is None and spec[1] in ('x', ('x', 'y'))
     c1 = rho1.r2c()
     assert_allclose(np.asarray(c.value), np.asarray(c1.value),
                     atol=1e-12)
