@@ -1100,11 +1100,25 @@ class Solver(object):
 
     # --- time integration ---
     def nbody(self, state, time_steps, factors='fastpm', scheme='symp2',
-              monitor=None, force_mode='spectral'):
-        """Run the KDK loop.  With monitor=None the whole loop is one
-        jitted lax.scan; a monitor callback forces per-step python
-        stepping (for snapshots/logging).  force_mode: 'spectral' or
-        'gradient' (see :meth:`force`)."""
+              monitor=None, force_mode='spectral', rebalance=None):
+        """Run the KDK loop.  With monitor=None and rebalance=None the
+        whole loop is one jitted lax.scan; a monitor callback (or
+        rebalance) forces per-step python stepping (for
+        snapshots/logging).  force_mode: 'spectral' or 'gradient'
+        (see :meth:`force`).
+
+        rebalance : None or float
+            measured-load-driven re-layout (the reference assigns
+            uneven domains to ranks from measured N^gamma load,
+            domain.py:468-499; TPU slabs stay equal so balance is
+            restored by re-sorting particles instead): after each
+            step the per-device ghost+paint work imbalance
+            (:func:`~pmesh_tpu.parallel.exchange.measure_load`) is
+            measured, and when max/mean exceeds this threshold the
+            particle arrays are resharded into home-slab quantile
+            order and the exchange capacity re-tuned.  Forces python
+            stepping (the measurement host-syncs).  Try 1.5.
+        """
         fac = _FACTORS[factors](self.cosmology) \
             if isinstance(factors, str) else factors
         K1, D1s, K2 = leapfrog_factors(time_steps, fac, scheme)
@@ -1126,33 +1140,52 @@ class Solver(object):
 
         force = functools.partial(self.force, mode=force_mode)
 
-        def step(carry, coeffs):
+        def step(carry, coeffs, Q):
             S, V, F = carry
             k1, d1, k2 = coeffs
             V = V + F * k1
             S = S + V * d1
-            F = force(state.Q + S)
+            F = force(Q + S)
             V = V + F * k2
             return (S, V, F), None
 
-        if monitor is None:
+        if monitor is None and rebalance is None:
             @jax.jit
             def run(S, V):
                 F = force(state.Q + S)
                 (S, V, F), _ = jax.lax.scan(
-                    step, (S, V, F), (K1, D1s, K2))
+                    functools.partial(step, Q=state.Q),
+                    (S, V, F), (K1, D1s, K2))
                 return S, V
             S, V = run(state.S, state.V)
             return State(state.Q, S, V)
 
+        fpm = self.fpm
+        sharded = (fpm.procmesh is not None and fpm.procmesh.size > 1
+                   and (fpm._even_mesh or fpm._uneven1d))
         F = force(state.X)
-        S, V = state.S, state.V
+        Q, S, V = state.Q, state.S, state.V
         for i, (ai, af) in enumerate(zip(time_steps[:-1],
                                          time_steps[1:])):
             (S, V, F), _ = step((S, V, F),
-                                (K1[i], D1s[i], K2[i]))
-            monitor(af, State(state.Q, S, V))
-        return State(state.Q, S, V)
+                                (K1[i], D1s[i], K2[i]), Q)
+            if rebalance is not None and sharded:
+                from ..parallel import exchange as _ex
+                X = Q + S
+                g0 = X[:, 0] * jnp.asarray(fpm.affine.scale[0],
+                                           X.dtype)
+                kside = self._exch_kwargs.get('kside')
+                self.last_load = _ex.measure_load(
+                    fpm.procmesh, g0, int(fpm.Nmesh[0]),
+                    fpm.resampler.support * 0.5, kside=kside)
+                if self.last_load['imbalance'] > float(rebalance):
+                    _, Q, S, V, F = fpm.reshard_particles(
+                        X, Q, S, V, F)
+                    self._exch_kwargs = {}
+                    self.tune_exchange(Q + S)
+            if monitor is not None:
+                monitor(af, State(Q, S, V))
+        return State(Q, S, V)
 
 
 def lpt(pm, dlinear, a0, cosmology=None, order=2, shift=0.0):

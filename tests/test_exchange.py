@@ -398,6 +398,52 @@ def test_sharded_kdk_with_reshard_in_loop(pmesh8):
     assert not np.any(np.isnan(np.asarray(X8)))
 
 
+def test_nbody_rebalance_load_driven(pmesh8):
+    """Solver.nbody(rebalance=...) — measured-load-driven re-layout
+    (the reference's measured N^gamma load assignment role,
+    domain.py:468-499): when the per-device ghost+paint imbalance
+    exceeds the threshold, the KDK loop reshards the particle arrays
+    into home-slab quantile order, re-tunes the exchange, and the
+    trajectory still matches the single-device run."""
+    from pmesh_tpu.models.fastpm import Solver
+    N = 16
+    pm1 = ParticleMesh(Nmesh=[N] * 3, BoxSize=float(N), dtype='f4',
+                       resampler='cic')
+    pm8 = ParticleMesh(Nmesh=[N] * 3, BoxSize=float(N), dtype='f4',
+                       resampler='cic', procmesh=pmesh8)
+    rng = np.random.RandomState(9)
+    Q = jnp.asarray(pm1.generate_uniform_particle_grid(shift=0.0),
+                    jnp.float32)
+    S0 = jnp.asarray(0.5 * rng.normal(size=Q.shape), jnp.float32)
+    V0 = jnp.asarray(0.1 * rng.normal(size=Q.shape), jnp.float32)
+    from pmesh_tpu.models.fastpm import State
+    steps = np.linspace(0.5, 1.0, 4)
+
+    s8 = Solver(pm8)
+    calls = []
+    orig = s8.fpm.reshard_particles
+
+    def counting(*a):
+        calls.append(1)
+        return orig(*a)
+    # the Solver's force mesh is the one the loop reshards on
+    s8.fpm.reshard_particles = counting
+    # threshold 1.0: any nonzero skew reshards — exercises the
+    # trigger every step
+    r8 = s8.nbody(State(Q, S0, V0), steps, rebalance=1.0)
+    assert len(calls) >= 1, "rebalance never triggered"
+    assert s8.last_load['imbalance'] >= 1.0
+    s1 = Solver(pm1)
+    r1 = s1.nbody(State(Q, S0, V0), steps)
+
+    def keyed(st):
+        a = np.concatenate([np.asarray(st.X), np.asarray(st.V)],
+                           axis=1)
+        return a[np.lexsort(a.T[::-1])]
+    assert_allclose(keyed(r8), keyed(r1), atol=1e-3)
+    assert not np.any(np.isnan(np.asarray(r8.X)))
+
+
 def test_sharded_gradient_units_boxsize(pmesh8):
     """Derivative readouts/paints on the sharded path must return
     SIMULATION-unit derivatives: the single-device kernel multiplies
