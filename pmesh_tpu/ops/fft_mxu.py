@@ -237,6 +237,236 @@ def _irfft_mats_np(n, zh, grad_kvec=None, nyquist_last=True):
     return A.astype(np.float32), B.astype(np.float32)
 
 
+# --- z-axis Cooley-Tukey factoring (lane-resident, no transposes) ----
+#
+# The dense z transform is a (rows, N2) @ (N2, Zm) matmul pair —
+# 2*2*Zm FLOPs per mesh element, the single largest MXU term of the
+# per-chip force chain (tools/roofline.py: ~33 ms of the 60 ms
+# (128, 1024, 1024) pipe at f32-exact precision).  Factoring z the
+# way x/y already are cuts those FLOPs ~4.5x (forward) / 2x
+# (inverse) while keeping z on the LANE axis throughout:
+#
+#   forward   u_j = sum_r e^{-2pi i j r/Rz} x[:, rK:(r+1)K]   (VPU)
+#             X_j = u_j @ E_j^T                               (MXU)
+#   with E_j[q, m] = e^{-2pi i (j + Rz q) m / N2}; u_{Rz-j} =
+#   conj(u_j) so only Rz/2+1 butterflies are computed.  The output
+#   concatenates the chunks along lanes, so mode k = j + Rz*q lives
+#   at STORED slot order given by _zct_perm — the z analog of the
+#   x/y _ct_permute contract (consumers fold tables with _zct_table).
+#
+#   inverse   (on Ri = Rz/2 fused chunk pairs so the contraction
+#             stays a full 128 lanes): P_j = Xr_j @ A_j + Xi_j @ B_j,
+#             Q_j = Xi_j @ A_j - Xr_j @ B_j, and output block c is
+#             sum_j cos(2pi j c/Ri) P_j - sin(2pi j c/Ri) Q_j.
+#
+# Chunk storage order interleaves {j, j+Rz/2} pairs so the inverse
+# reads contiguous lane blocks.  Gates: _use_zct_fwd for the
+# forward (pays from N2 >= 256), inverse CT only when the fused
+# contraction is a 128-multiple (N2 >= 1024); otherwise the dense
+# irfft matrices are row-permuted to the stored order.
+
+def _zct_factor(N2):
+    """(Rz, K, Mq): Rz forward chunks, contraction K = N2//Rz,
+    Mq = Zm//Rz stored modes per chunk.  (1, N2, Zm) = stay dense."""
+    for Rz in (8, 4, 2):
+        if N2 % (2 * Rz) == 0 and (N2 // Rz) % 128 == 0:
+            return Rz, N2 // Rz, (N2 // 2) // Rz
+    return 1, N2, N2 // 2
+
+
+def _zct_order(Rz):
+    """storage order of the forward chunks: {j, j+Rz/2} pairs
+    adjacent so the Ri = Rz/2 inverse reads contiguous lanes."""
+    if Rz % 2 == 0 and Rz > 2:
+        out = []
+        for j in range(Rz // 2):
+            out += [j, j + Rz // 2]
+        return out
+    return list(range(Rz))
+
+
+def _use_zct_fwd(N2, Zm):
+    if not TUNE.get('zct', True):
+        return False
+    Rz, K, Mq = _zct_factor(N2)
+    return Rz > 1 and Zm == N2 // 2
+
+
+def _use_zct_inv(N2, Zm):
+    if not _use_zct_fwd(N2, Zm):
+        return False
+    Rz, K, Mq = _zct_factor(N2)
+    return Rz == 8 and ((N2 // 2) // (Rz // 2)) % 128 == 0
+
+
+def _zct_perm(N2):
+    """stored slot of each natural z mode k (k < Zm)."""
+    Rz, K, Mq = _zct_factor(N2)
+    order = _zct_order(Rz)
+    pos = np.empty(Rz, np.int64)
+    for p, j in enumerate(order):
+        pos[j] = p
+    k = np.arange(N2 // 2)
+    return pos[k % Rz] * Mq + k // Rz
+
+
+def _zct_table(N2, table):
+    """reorder a natural-order z-mode table (len >= Zm) into the
+    stored slot order: stored[s] holds table[k(s)]."""
+    Zm = N2 // 2
+    t = np.asarray(table)[:Zm]
+    out = np.empty_like(t)
+    out[_zct_perm(N2)] = t
+    return out
+
+
+def _zct_fwd_mats_np(N2):
+    """(Er, Ei) of shape (Rz, K, Mq) in storage order: X_block_p =
+    u_{order[p]} @ (Er[p] + i Ei[p])."""
+    Rz, K, Mq = _zct_factor(N2)
+    Er = np.empty((Rz, K, Mq), np.float32)
+    Ei = np.empty((Rz, K, Mq), np.float32)
+    m = np.arange(K)
+    for p, j in enumerate(_zct_order(Rz)):
+        q = np.arange(Mq)
+        E = np.exp(-2j * np.pi * np.outer(m, j + Rz * q) / N2)
+        Er[p] = E.real
+        Ei[p] = E.imag
+    return Er, Ei
+
+
+def _zct_inv_mats_np(N2, grad_kvec=None, negate=False):
+    """(A, B) of shape (Ri, Kin, Kb) consuming the stored-order
+    spectrum: inverse chunk j reads stored lanes [j*Kin, (j+1)*Kin).
+    grad_kvec folds i*k_z (NATURAL-order table, like _irfft_mats_np);
+    negate folds an overall -1 (the Poisson potential sign)."""
+    Rz, K, Mq = _zct_factor(N2)
+    Ri = Rz // 2 if Rz == 8 else Rz
+    Kin = (N2 // 2) // Ri
+    Kb = N2 // Ri
+    order = _zct_order(Rz)
+    A = np.empty((Ri, Kin, Kb), np.float32)
+    B = np.empty((Ri, Kin, Kb), np.float32)
+    m = np.arange(Kb)
+    for j4 in range(Ri):
+        # the storage blocks whose forward residue j8 == j4 (mod Ri),
+        # in storage order — contiguous by construction of _zct_order
+        blocks = [j8 for j8 in order if j8 % Ri == j4]
+        ks = np.concatenate([j8 + Rz * np.arange(Mq)
+                             for j8 in blocks])
+        w = np.where(ks == 0, 1.0, 2.0)
+        th = 2 * np.pi * np.outer(ks, m) / N2
+        c = np.cos(th) * w[:, None]
+        s = np.sin(th) * w[:, None]
+        if grad_kvec is None:
+            Aj, Bj = c, -s
+        else:
+            kz = np.asarray(grad_kvec, np.float64)[ks][:, None]
+            Aj, Bj = -kz * s, -kz * c
+        if negate:
+            Aj, Bj = -Aj, -Bj
+        A[j4], B[j4] = Aj, Bj
+    return A, B
+
+
+def _z_fwd_tabs(N2, Zm):
+    """forward z tables: zct (Er, Ei) 3-d when gated, else the dense
+    half-DFT pair (2-d) — the kernels dispatch on ndim."""
+    if _use_zct_fwd(N2, Zm):
+        return _zct_fwd_mats_np(N2)
+    return _dft_half_np(N2, Zm)
+
+
+def _z_inv_tabs(n2, Zm, grad_kvec=None, negate=False):
+    """inverse z tables matching the _z_fwd_tabs storage order:
+    zct (A, B) 3-d when the fused inverse pays, else dense irfft
+    matrices with rows permuted to the stored order."""
+    if _use_zct_inv(n2, Zm):
+        return _zct_inv_mats_np(n2, grad_kvec=grad_kvec,
+                                negate=negate)
+    gk = None if grad_kvec is None else \
+        np.asarray(grad_kvec)[:Zm]
+    A, B = _irfft_mats_np(n2, Zm, grad_kvec=gk,
+                          nyquist_last=False)
+    if _use_zct_fwd(n2, Zm):
+        perm = _zct_perm(n2)
+        Ap = np.empty_like(A)
+        Bp = np.empty_like(B)
+        Ap[perm] = A
+        Bp[perm] = B
+        A, B = Ap, Bp
+    if negate:
+        A, B = -A, -B
+    return A, B
+
+
+def _zct_fwd_apply(p, Er, Ei, N2, prec):
+    """lane-resident forward z-CT inside a kernel: p (rows, N2) real
+    -> (zr, zi) (rows, Zm) in stored order.  Er/Ei are refs/values
+    (Rz, K, Mq)."""
+    Rz, K, Mq = _zct_factor(N2)
+    order = _zct_order(Rz)
+    xs = [p[:, r * K:(r + 1) * K] for r in range(Rz)]
+    Bt = _butter(Rz, -1)
+    us = {}
+    for j in range(Rz // 2 + 1):
+        acc = (None, None)
+        for r in range(Rz):
+            acc = _cmadd(acc, xs[r], None, Bt[r, j])
+        us[j] = acc
+    outs_r, outs_i = [], []
+    for pblk, j in enumerate(order):
+        if j <= Rz // 2:
+            ur, ui = us[j]
+        else:
+            ur, ui = us[Rz - j][0], us[Rz - j][1]
+            ui = None if ui is None else -ui
+        er = Er[pblk]
+        ei = Ei[pblk]
+        if ui is None:
+            outs_r.append(_mm(ur, er, prec))
+            outs_i.append(_mm(ur, ei, prec))
+        else:
+            outs_r.append(_mm(ur, er, prec) - _mm(ui, ei, prec))
+            outs_i.append(_mm(ur, ei, prec) + _mm(ui, er, prec))
+    return (jnp.concatenate(outs_r, 1), jnp.concatenate(outs_i, 1))
+
+
+def _zct_inv_apply(yr, yi, A, B, n2, prec):
+    """lane-resident inverse z-CT inside a kernel: stored-order
+    (yr, yi) (rows, Zm) -> real (rows, n2).  A/B are refs/values
+    (Ri, Kin, Kb)."""
+    Ri, Kin, Kb = A.shape
+    cs = _butter(Ri, +1)
+    Ps, Qs = [], []
+    for j in range(Ri):
+        xr = yr[:, j * Kin:(j + 1) * Kin]
+        xi = yi[:, j * Kin:(j + 1) * Kin]
+        a = A[j]
+        b = B[j]
+        Ps.append(_mm(xr, a, prec) + _mm(xi, b, prec))
+        Qs.append(_mm(xi, a, prec) - _mm(xr, b, prec))
+    def addto(acc, coef, x):
+        # acc += coef * x with 0/+-1 strength reduction (the
+        # butterfly constants are mostly trivial for Ri = 4)
+        if abs(coef) < 1e-30:
+            return acc
+        t = x if abs(coef - 1) < 1e-12 else (
+            -x if abs(coef + 1) < 1e-12 else coef * x)
+        return t if acc is None else acc + t
+
+    blocks = []
+    for c in range(Ri):
+        # x_c = sum_j Re(e^{i a_jc} (P_j + i Q_j))
+        #     = sum_j cos(a) P_j - sin(a) Q_j
+        acc = None
+        for j in range(Ri):
+            acc = addto(acc, float(np.real(cs[j, c])), Ps[j])
+            acc = addto(acc, -float(np.imag(cs[j, c])), Qs[j])
+        blocks.append(acc)
+    return jnp.concatenate(blocks, 1)
+
+
 def _zy_forward_real_h(BX, N1, N2, Zh, prec=None):
     def kernel(x_ref, wzr, wzi, wyr, wyi, or_ref, oi_ref):
         p = x_ref[...].reshape(BX * N1, N2)
@@ -724,8 +954,13 @@ def _zy_forward_real_h_ct2(BX, N1, N2, Zm, prec=None):
         p = x_ref[...].reshape(BX * N1, N2).astype(jnp.float32)
         nq_ref[...] = jnp.sum(p * _signs(N2, p.dtype),
                               axis=1).reshape(BX, 1, N1)
-        zr = _mm(p, wzr[...], prec).reshape(BX, N1, Zm)
-        zi = _mm(p, wzi[...], prec).reshape(BX, N1, Zm)
+        if len(wzr.shape) == 3:   # z-CT tables (Rz, K, Mq)
+            zr, zi = _zct_fwd_apply(p, wzr, wzi, N2, prec)
+            zr = zr.reshape(BX, N1, Zm)
+            zi = zi.reshape(BX, N1, Zm)
+        else:
+            zr = _mm(p, wzr[...], prec).reshape(BX, N1, Zm)
+            zi = _mm(p, wzi[...], prec).reshape(BX, N1, Zm)
         for b in range(BX):
             yr, yi = _ct_fwd_apply(zr[b], zi[b], wyr, wyi, N1, prec)
             or_ref[b] = yr.astype(or_ref.dtype)
@@ -746,7 +981,10 @@ def _zy_inverse_to_real_h_ct2(BX, N1, n2, Zm, prec=None,
             yr, yi = _ct_inv_apply(xr_ref[b].astype(jnp.float32),
                                    xi_ref[b].astype(jnp.float32),
                                    wyr, wyi, N1, prec)
-            out = _mm(yr, A[...], prec) + _mm(yi, B[...], prec)
+            if len(A.shape) == 3:    # z-CT inverse (Ri, Kin, Kb)
+                out = _zct_inv_apply(yr, yi, A, B, n2, prec)
+            else:
+                out = _mm(yr, A[...], prec) + _mm(yi, B[...], prec)
             if with_plane:
                 out = out + pl_ref[b, 0][:, None] * _signs(n2,
                                                            out.dtype)
@@ -773,13 +1011,19 @@ def _zy_inverse_to_real_h_ct2_dual(BX, N1, n2, Zm, prec=None,
             xr = xr_ref[b].astype(jnp.float32)
             xi = xi_ref[b].astype(jnp.float32)
             yr, yi = _ct_inv_apply(xr, xi, wyrA, wyiA, N1, prec)
-            out = _mm(yr, Aa[...], prec) + _mm(yi, Ba[...], prec)
+            if len(Aa.shape) == 3:   # z-CT inverse (Ri, Kin, Kb)
+                out = _zct_inv_apply(yr, yi, Aa, Ba, n2, prec)
+            else:
+                out = _mm(yr, Aa[...], prec) + _mm(yi, Ba[...], prec)
             if with_plane:
                 out = out + pl_ref[b, 0][:, None] * _signs(n2,
                                                            out.dtype)
             oA[b] = out.astype(oA.dtype)
             yr, yi = _ct_inv_apply(xr, xi, wyrB, wyiB, N1, prec)
-            out = _mm(yr, Ab[...], prec) + _mm(yi, Bb[...], prec)
+            if len(Ab.shape) == 3:
+                out = _zct_inv_apply(yr, yi, Ab, Bb, n2, prec)
+            else:
+                out = _mm(yr, Ab[...], prec) + _mm(yi, Bb[...], prec)
             oB[b] = out.astype(oB.dtype)
     return kernel
 
@@ -794,9 +1038,11 @@ def _zy_inv_ct2_call_dual(rr, ii, WyA, ABA, WyB, ABB, n2, prec,
     with_plane = planeA is not None
     in_specs = [_xplane_spec(N1, Zm, BX), _xplane_spec(N1, Zm, BX),
                 _full_spec((Ry, My, My)), _full_spec((Ry, My, My)),
-                _full_spec((Zm, n2)), _full_spec((Zm, n2)),
+                _full_spec(np.shape(ABA[0])),
+                _full_spec(np.shape(ABA[1])),
                 _full_spec((Ry, My, My)), _full_spec((Ry, My, My)),
-                _full_spec((Zm, n2)), _full_spec((Zm, n2))]
+                _full_spec(np.shape(ABB[0])),
+                _full_spec(np.shape(ABB[1]))]
     args = [rr, ii, jnp.asarray(WyA[0]), jnp.asarray(WyA[1]),
             jnp.asarray(ABA[0]), jnp.asarray(ABA[1]),
             jnp.asarray(WyB[0]), jnp.asarray(WyB[1]),
@@ -852,7 +1098,8 @@ def _zy_fwd_ct2_call(x, N2, Zm, wz, wy, prec, out_dtype=jnp.float32):
         _zy_forward_real_h_ct2(BX, N1, N2, Zm, prec),
         grid=(n0 // BX,),
         in_specs=[_xplane_spec(N1, N2, BX),
-                  _full_spec((N2, Zm)), _full_spec((N2, Zm)),
+                  _full_spec(np.shape(wz[0])),
+                  _full_spec(np.shape(wz[1])),
                   _full_spec((Ry, My, My)), _full_spec((Ry, My, My))],
         out_specs=(_xplane_spec(N1, Zm, BX), _xplane_spec(N1, Zm, BX),
                    pl.BlockSpec((BX, 1, N1), lambda i: (i, 0, 0),
@@ -888,7 +1135,8 @@ def _zy_inv_ct2_call(rr, ii, Wy, AB, n2, prec, plane=None,
     with_plane = plane is not None
     in_specs = [_xplane_spec(N1, Zm, BX), _xplane_spec(N1, Zm, BX),
                 _full_spec((Ry, My, My)), _full_spec((Ry, My, My)),
-                _full_spec((Zm, n2)), _full_spec((Zm, n2))]
+                _full_spec(np.shape(AB[0])),
+                _full_spec(np.shape(AB[1]))]
     args = [rr, ii, jnp.asarray(Wy[0]), jnp.asarray(Wy[1]),
             jnp.asarray(AB[0]), jnp.asarray(AB[1])]
     if with_plane:
@@ -913,8 +1161,11 @@ def _zy_inv_ct2_call(rr, ii, Wy, AB, n2, prec, plane=None,
 def fft3_real_forward_half_ct2(x, norm=True, precision=None,
                                spectrum_dtype=None):
     """split-Nyquist CT forward: returns (r, i, nqr, nqi) — the main
-    (N0, N1, N2//2) spectrum with CHUNK-PERMUTED x/y axes and the
-    z-Nyquist plane spectrum (N0, N1) in natural x/y order.
+    (N0, N1, N2//2) spectrum with CHUNK-PERMUTED x/y axes (and a
+    chunk-permuted z axis too when the z-CT gate is on,
+    :func:`_use_zct_fwd`; per-mode z tables then fold through
+    :func:`_zct_table`) and the z-Nyquist plane spectrum (N0, N1) in
+    natural x/y order.
 
     spectrum_dtype : None (f32) or jnp.bfloat16 — STORAGE dtype of
         the returned/intermediate spectra; every matmul still runs
@@ -929,7 +1180,7 @@ def fft3_real_forward_half_ct2(x, norm=True, precision=None,
         raise ValueError("ct2 needs N0/N1 = R*128k and even N2 "
                          "(got %s)" % ((N0, N1, N2),))
     sdt = spectrum_dtype or jnp.float32
-    wz = _dft_half_np(N2, Zm)
+    wz = _z_fwd_tabs(N2, Zm)
     wy = _ct_fwd_mats_np(N1)
     wx = _ct_fwd_mats_np(N0)
     prec = _resolve_prec(precision)
@@ -975,9 +1226,8 @@ def fft3_real_inverse_grad3_half_ct2(r, i, nqr, nqi, n2, kvecs,
     wx = _ct_inv_mats_np(N0)
     wx_g = _ct_inv_mats_np(N0, fold_kvec=kvecs[0])
     wy_g = _ct_inv_mats_np(N1, fold_kvec=kvecs[1])
-    A_p, B_p = _irfft_mats_np(n2, Zm, nyquist_last=False)
-    A_g, B_g = _irfft_mats_np(n2, Zm, grad_kvec=kvecs[2][:Zm],
-                              nyquist_last=False)
+    A_p, B_p = _z_inv_tabs(n2, Zm)
+    A_g, B_g = _z_inv_tabs(n2, Zm, grad_kvec=kvecs[2])
 
     # Nyquist-plane force contributions (fx, fy only; the z kernel
     # vanishes at Nyquist): i*k ⊙ plane, inverse 2-d, real part
@@ -1049,9 +1299,12 @@ def _poisson_tables(poisson_k2, N0, N1, Zm):
            + np.float32(poisson_k2[2][Zm]))
     invk2p = jnp.asarray(np.where(k2p > 0, 1.0 / np.where(
         k2p > 0, k2p, 1.0), 0.0))
+    k2z = np.asarray(poisson_k2[2][:Zm], np.float32)
+    if _use_zct_fwd(2 * Zm, Zm):
+        k2z = _zct_table(2 * Zm, k2z).astype(np.float32)
     k2m = (_ct_table(N0, poisson_k2[0]).astype(np.float32),
            _ct_table(N1, poisson_k2[1]).astype(np.float32),
-           np.asarray(poisson_k2[2][:Zm], np.float32))
+           k2z)
     return invk2p, k2m
 
 
@@ -1070,8 +1323,7 @@ def fft3_poisson_half_ct2(r, i, nqr, nqi, n2, poisson_k2,
     prec = _resolve_prec(precision)
     wy = _ct_inv_mats_np(N1)
     wx = _ct_inv_mats_np(N0)
-    A_p, B_p = _irfft_mats_np(n2, Zm, nyquist_last=False)
-    A_p, B_p = -A_p, -B_p
+    A_p, B_p = _z_inv_tabs(n2, Zm, negate=True)
     invk2p, k2m = _poisson_tables(poisson_k2, N0, N1, Zm)
     # Nyquist-plane potential contribution: filtered plane, 2-d
     # inverse, real part; added onto the main block with (-1)^n
@@ -1099,8 +1351,7 @@ def fft3_poisson_half_ct2_sharded(procmesh, r, i, nqr, nqi, n2,
     prec = _resolve_prec(precision)
     wy = _ct_inv_mats_np(N1)
     wx = _ct_inv_mats_np(N0)
-    A_p, B_p = _irfft_mats_np(n2, Zm, nyquist_last=False)
-    A_p, B_p = -A_p, -B_p
+    A_p, B_p = _z_inv_tabs(n2, Zm, negate=True)
     invk2p, k2m = _poisson_tables(poisson_k2, N0, N1, Zm)
     plane = -_plane_fft2(nqr * invk2p, nqi * invk2p, N0, N1, +1,
                          prec)[0]
@@ -1158,7 +1409,7 @@ def fft3_real_forward_half_ct2_sharded(procmesh, x, norm=True,
             "ct2_sharded needs N0/N1 = R*128k, even N2, and N0/N1 "
             "divisible by the device count (got %s on %d)"
             % ((N0, N1, N2), D))
-    wz = _dft_half_np(N2, Zm)
+    wz = _z_fwd_tabs(N2, Zm)
     wy = _ct_fwd_mats_np(N1)
     wx = _ct_fwd_mats_np(N0)
     prec = _resolve_prec(precision)
@@ -1220,9 +1471,8 @@ def fft3_real_inverse_grad3_half_ct2_sharded(procmesh, r, i, nqr,
     wx = _ct_inv_mats_np(N0)
     wx_g = _ct_inv_mats_np(N0, fold_kvec=kvecs[0])
     wy_g = _ct_inv_mats_np(N1, fold_kvec=kvecs[1])
-    A_p, B_p = _irfft_mats_np(n2, Zm, nyquist_last=False)
-    A_g, B_g = _irfft_mats_np(n2, Zm, grad_kvec=kvecs[2][:Zm],
-                              nyquist_last=False)
+    A_p, B_p = _z_inv_tabs(n2, Zm)
+    A_g, B_g = _z_inv_tabs(n2, Zm, grad_kvec=kvecs[2])
 
     kx = np.asarray(kvecs[0], np.float32)
     ky = np.asarray(kvecs[1], np.float32)

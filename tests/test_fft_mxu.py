@@ -114,9 +114,10 @@ def test_ct2_split_nyquist_matches_dense():
     x = jnp.asarray(rng.normal(size=(N, N, N)).astype('f4'))
     r, i, nqr, nqi = fm.fft3_real_forward_half_ct2(x)
     p = fm._ct_permute(N)
+    pz = fm._zct_perm(N)   # z is chunk-permuted too (z-CT forward)
     ref = np.fft.rfftn(np.asarray(x)) / N ** 3
-    assert_allclose(np.asarray(r)[p][:, p], ref.real[..., :N // 2],
-                    atol=2e-6)
+    assert_allclose(np.asarray(r)[p][:, p][..., pz],
+                    ref.real[..., :N // 2], atol=2e-6)
     assert_allclose(np.asarray(nqr), ref.real[..., N // 2], atol=2e-6)
     assert_allclose(np.asarray(nqi), ref.imag[..., N // 2], atol=2e-6)
 

@@ -42,7 +42,7 @@ def kd_tab(n, cell=1.0):
 
 
 def main():
-    wz = fm._dft_half_np(N, Zm)
+    wz = fm._z_fwd_tabs(N, Zm)
     wyf = fm._ct_fwd_mats_np(N)
     wxf = fm._ct_fwd_mats_np(N)
     kdx = kd_tab(N)
@@ -54,13 +54,14 @@ def main():
     wxg = fm._ct_inv_mats_np(N, fold_kvec=kdx)
     wyi = fm._ct_inv_mats_np(N)
     wyg = fm._ct_inv_mats_np(N, fold_kvec=kdy)
-    ABp = fm._irfft_mats_np(N, Zm, nyquist_last=False)
-    ABg = fm._irfft_mats_np(N, Zm, grad_kvec=np.asarray(kdz[:Zm]),
-                            nyquist_last=False)
+    ABp = fm._z_inv_tabs(N, Zm)
+    ABg = fm._z_inv_tabs(N, Zm, grad_kvec=np.asarray(kdz))
     ks = [np.fft.fftfreq(N) * 2 * np.pi] * 2 + [kz]
     k2x = fm._ct_table(N, (ks[0] ** 2)).astype(np.float32)
     k2y = fm._ct_table(N, (ks[1] ** 2)).astype(np.float32)
     k2z = (ks[2][:Zm] ** 2).astype(np.float32)
+    if fm._use_zct_fwd(N, Zm):
+        k2z = fm._zct_table(N, k2z).astype(np.float32)
 
     bf16 = jnp.bfloat16
 

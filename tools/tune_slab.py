@@ -105,16 +105,18 @@ def sweep_hbm():
 
 def sweep_zy():
     slab, _, _, _ = data()
-    for radix in (8, 4):
-        for bx in (1, 2):
-            fm.TUNE.clear()
-            fm.TUNE['radix:1024'] = radix
-            fm.TUNE['bx:%dx%dx%d' % (ROWS, N1, Zm)] = bx
-            wz = fm._dft_half_np(N2, Zm)
-            wy = fm._ct_fwd_mats_np(N1)
-            bench("zy_fwd R=%d BX=%d" % (radix, bx),
-                  lambda c: fm._zy_fwd_ct2_call(c, N2, Zm, wz, wy,
-                                                None), slab)
+    for zkind in ('zct', 'dense'):
+        for radix in (8, 4):
+            for bx in (1, 2):
+                fm.TUNE.clear()
+                fm.TUNE['radix:1024'] = radix
+                fm.TUNE['bx:%dx%dx%d' % (ROWS, N1, Zm)] = bx
+                wz = (fm._zct_fwd_mats_np(N2) if zkind == 'zct'
+                      else fm._dft_half_np(N2, Zm))
+                wy = fm._ct_fwd_mats_np(N1)
+                bench("zy_fwd %s R=%d BX=%d" % (zkind, radix, bx),
+                      lambda c: fm._zy_fwd_ct2_call(c, N2, Zm, wz,
+                                                    wy, None), slab)
     fm.TUNE.clear()
 
 
@@ -160,30 +162,38 @@ def sweep_x():
 
 def sweep_zyi():
     _, _, half, _ = data()
-    for radix in (8, 4):
+    for zkind in ('zct', 'dense'):
+        for radix in (8, 4):
+            for bx in (1, 2, 4):
+                fm.TUNE.clear()
+                fm.TUNE['radix:1024'] = radix
+                fm.TUNE['bx:%dx%dx%d' % (ROWS, N1, Zm)] = bx
+                wyi = fm._ct_inv_mats_np(N1)
+                AB = (fm._zct_inv_mats_np(N2) if zkind == 'zct' else
+                      fm._irfft_mats_np(N2, Zm, nyquist_last=False))
+                bench("zy_inv %s R=%d BX=%d" % (zkind, radix, bx),
+                      lambda c: fm._zy_inv_ct2_call(c, c, wyi, AB,
+                                                    N2, None), half)
+    # dual (fy+fz from one read) vs 2x single
+    for zkind in ('zct', 'dense'):
         for bx in (1, 2, 4):
             fm.TUNE.clear()
-            fm.TUNE['radix:1024'] = radix
-            fm.TUNE['bx:%dx%dx%d' % (ROWS, N1, Zm)] = bx
+            fm.TUNE['bx:zyid:%dx%dx%d' % (ROWS, N1, Zm)] = bx
             wyi = fm._ct_inv_mats_np(N1)
-            AB = fm._irfft_mats_np(N2, Zm, nyquist_last=False)
-            bench("zy_inv R=%d BX=%d" % (radix, bx),
-                  lambda c: fm._zy_inv_ct2_call(c, c, wyi, AB, N2,
-                                                None), half, )
-    # dual (fy+fz from one read) vs 2x single
-    for bx in (1, 2, 4):
-        fm.TUNE.clear()
-        fm.TUNE['bx:zyid:%dx%dx%d' % (ROWS, N1, Zm)] = bx
-        wyi = fm._ct_inv_mats_np(N1)
-        wyg = fm._ct_inv_mats_np(N1, fold_kvec=tuple(
-            np.sin(np.arange(N1) / N1).tolist()))
-        ABp = fm._irfft_mats_np(N2, Zm, nyquist_last=False)
-        ABg = fm._irfft_mats_np(
-            N2, Zm, grad_kvec=np.arange(Zm).astype('f8'),
-            nyquist_last=False)
-        bench("zy_inv DUAL BX=%d" % bx,
-              lambda c: fm._zy_inv_ct2_call_dual(
-                  c, c, wyg, ABp, wyi, ABg, N2, None), half)
+            wyg = fm._ct_inv_mats_np(N1, fold_kvec=tuple(
+                np.sin(np.arange(N1) / N1).tolist()))
+            if zkind == 'zct':
+                ABp = fm._zct_inv_mats_np(N2)
+                ABg = fm._zct_inv_mats_np(
+                    N2, grad_kvec=np.arange(Zm + 1).astype('f8'))
+            else:
+                ABp = fm._irfft_mats_np(N2, Zm, nyquist_last=False)
+                ABg = fm._irfft_mats_np(
+                    N2, Zm, grad_kvec=np.arange(Zm).astype('f8'),
+                    nyquist_last=False)
+            bench("zy_inv DUAL %s BX=%d" % (zkind, bx),
+                  lambda c: fm._zy_inv_ct2_call_dual(
+                      c, c, wyg, ABp, wyi, ABg, N2, None), half)
     fm.TUNE.clear()
 
 
@@ -271,15 +281,14 @@ def sweep_pipe(spec_dtype=None):
         kk, (ROWS, N1, N2), dtype=jnp.float32) for kk in ks)
     vmin, vmax = 0, 2
     kd = kd_tabs()
-    wz = fm._dft_half_np(N2, Zm)
+    wz = fm._z_fwd_tabs(N2, Zm)
     wyf = fm._ct_fwd_mats_np(N1)
     wxi = fm._ct_inv_mats_np(N1)   # per-chip x-pass is over N1=1024
     wxg = fm._ct_inv_mats_np(N1, fold_kvec=kd[1])
     wyi = fm._ct_inv_mats_np(N1)
     wyg = fm._ct_inv_mats_np(N1, fold_kvec=kd[1])
-    ABp = fm._irfft_mats_np(N2, Zm, nyquist_last=False)
-    ABg = fm._irfft_mats_np(N2, Zm, grad_kvec=np.asarray(kd[2][:Zm]),
-                            nyquist_last=False)
+    ABp = fm._z_inv_tabs(N2, Zm)
+    ABg = fm._z_inv_tabs(N2, Zm, grad_kvec=np.asarray(kd[2]))
     k2t = (np.arange(N1, dtype=np.float32) + 1.0,
            np.arange(ROWS, dtype=np.float32) + 1.0,
            np.arange(Zm, dtype=np.float32) + 1.0)
@@ -321,11 +330,11 @@ def sweep_pipe_grad(spec_dtype=None):
     dispc = tuple(0.05 + 1.9 * jax.random.uniform(
         kk, (ROWS, N1, N2), dtype=jnp.float32) for kk in ks)
     vmin, vmax = 0, 2
-    wz = fm._dft_half_np(N2, Zm)
+    wz = fm._z_fwd_tabs(N2, Zm)
     wyf = fm._ct_fwd_mats_np(N1)
     wxi = fm._ct_inv_mats_np(N1)
     wyi = fm._ct_inv_mats_np(N1)
-    ABp = fm._irfft_mats_np(N2, Zm, nyquist_last=False)
+    ABp = fm._z_inv_tabs(N2, Zm)
     k2t = (np.arange(N1, dtype=np.float32) + 1.0,
            np.arange(ROWS, dtype=np.float32) + 1.0,
            np.arange(Zm, dtype=np.float32) + 1.0)
@@ -364,9 +373,41 @@ def sweep_pipe_grad(spec_dtype=None):
     bench("readout 3-diff separate", ro_sep, (mesh,) + dispc)
 
 
+def sweep_zmm():
+    """Isolated dense z-DFT matmul (the 1024 -> 512 half-rfft pair,
+    275 GFLOP per pass) at each matmul precision — pins down the
+    bf16 pass count of each precision grade on this chip and the
+    achievable TF/s, which tools/roofline.py needs to decompose the
+    pipe (the z matmuls model as ~33 ms of the 60 ms chain at
+    6-pass; if HIGHEST is 3-pass on v5e the z-CT savings halve)."""
+    slab, _, _, _ = data()
+    wz = fm._dft_half_np(N2, Zm)
+    wzr = jnp.asarray(wz[0])
+    wzi = jnp.asarray(wz[1])
+    gf = 2 * (2 * ROWS * N1 * N2 * Zm) / 1e9
+
+    for name, prec in (("DEFAULT (1-pass bf16)", 'default'),
+                       ("HIGH/tf32 (3-pass)", 'tensorfloat32'),
+                       ("HIGHEST/f32", 'float32')):
+        p = jax.lax.Precision(prec)
+
+        def zmm(c, _p=p):
+            x = c.reshape(ROWS * N1, N2)
+            zr = jax.lax.dot(x, wzr, precision=_p)
+            zi = jax.lax.dot(x, wzi, precision=_p)
+            return zr.reshape(ROWS, N1, Zm) + zi.reshape(ROWS, N1,
+                                                         Zm)
+        dt = bench("z-matmul pair %s" % name, zmm, slab)
+        if dt:
+            print("   -> %.1f TF/s effective (%.0f GFLOP)"
+                  % (gf / dt, gf), flush=True)
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else 'all'
     print("device:", jax.devices()[0], flush=True)
+    if which == 'zmm':
+        sweep_zmm()
     if which in ('hbm', 'all'):
         sweep_hbm()
     if which in ('zy', 'all'):
