@@ -13,13 +13,18 @@ z-Nyquist plane split off for 128-lane alignment, and the spectral
 force kernel folded into the inverse DFT matrices (ops/fft_mxu.py).
 
 HEADLINE is the f32-EXACT step (FFT matmuls at
-precision='float32', 6e-8 vs jnp.fft).  Extras:
-- bf16_step_ms: single-pass bf16 FFT matmuls (1.6e-4 relative force
-  error — an order below the SuperLanczos-vs-spectral stencil
-  difference); state/paint/readout stay f32.
-- realistic_step_ms: f32 step with late-time displacement amplitude
-  (bounds (-2, 3) cells -> nv=6 -> 216 shift passes vs 27), the
-  honest deep-run cost of the lattice path.
+precision='float32', 6e-8 vs jnp.fft).
+
+RECORD DISCIPLINE (round-5 rework; rounds 3 and 4 lost their records
+to driver timeouts): the headline is measured FIRST and a complete,
+valid result JSON line is printed IMMEDIATELY (extras marked
+"pending").  Extras then run inside a wall-clock budget
+(env BENCH_BUDGET_S, default 1500 s): each extra's subprocess timeout
+is derived from the remaining budget, an extra that does not fit is
+marked "skipped (budget)", and the full (progressively enriched)
+result line is re-printed after EVERY extra.  The driver parses the
+LAST line, so a kill at any point still leaves the most complete
+record printed so far.
 
 PROCESS ISOLATION: each measurement runs in its OWN subprocess,
 sharing the persistent XLA compilation cache.  Measured fact
@@ -34,8 +39,6 @@ The north-star target is the full 1024^3 step < 100 ms on v5e-8.
 512^3 step approximates the 8-chip 1024^3 step (modulo the ICI
 transposes, which the pencil FFT does in 2 all_to_alls);
 vs_baseline = 100 ms / measured.
-
-Prints ONE JSON line.
 """
 import functools
 import json
@@ -132,7 +135,17 @@ def measure_binned(Nb):
     vel = tuple(0.02 * jax.random.normal(
         k, (Nb,) * 3, dtype=jnp.float32) for k in ks[3:])
     dslots, vslots, valid = bn.from_lattice(disp, vel, nslots=2)
-    bounds = (-0.5, 1.5)
+    return _time_binned_superstep(jax, jnp, sb, dslots, vslots, valid,
+                                  bounds=(-0.5, 1.5))
+
+
+def _time_binned_superstep(jax, jnp, sb, dslots, vslots, valid,
+                           bounds, reps=3):
+    """Time one KDK step of a rebase_every=2 superstep on the given
+    binned state (shared by the occupancy-1 and clustered benches)."""
+    import functools
+    from pmesh_tpu.ops import binned as bn
+    from pmesh_tpu.models.fastpm import leapfrog_factors, FastPM
     fac = FastPM(sb.cosmology)
     K1, D1s, K2 = leapfrog_factors([0.5, 0.55, 0.6], fac, 'symp2')
     K1, D1s, K2 = (a.astype(jnp.float32) for a in (K1, D1s, K2))
@@ -164,12 +177,83 @@ def measure_binned(Nb):
     out = superstep(dslots, vslots, valid)
     float(jnp.sum(out[0][0][0][0, 0, :8]))
     t0 = time.perf_counter()
-    reps = 3
     for _ in range(reps):
         out = superstep(*out[:3])
         float(jnp.sum(out[0][0][0][0, 0, :8]))
     # per KDK step (2 steps + 1 rebase per superstep)
     return (time.perf_counter() - t0) / reps / 2 * 1000.0
+
+
+def measure_binned_clustered(Nb=384, Ax=3.0, lam=32):
+    """Binned slot-lattice under REAL clustering (round-4 verdict #4):
+    a compressive caustic flow (strong modulated x-flow, curved
+    sheets) reaching max cell occupancy >= 3, folded into slots by
+    the adaptive machinery itself (growth events counted), then the
+    KDK superstep timed at the grown slot count.
+
+    The reference's per-particle loops are occupancy-blind
+    (/root/reference/pmesh/_window_generics.h:21-72); here K = max
+    occupancy drives both compute and memory, so the clustered cost
+    is the honest number for this path.  Returns a dict (ms + the
+    occupancy/slot-growth evidence).
+
+    Nb=384 rather than 512: at K=4 the slot state + per-slot force is
+    ~9 GB at 384^3 vs ~24 GB at 512^3 — past a 16 GB chip.  The
+    per-cell work is size-independent; the 512^3 extrapolation is
+    x(512/384)^3 = x2.37 on the same chip or the same shape per chip
+    on 2 chips.
+    """
+    jax = _jax()
+    import numpy as np
+    import jax.numpy as jnp
+    from pmesh_tpu import ParticleMesh
+    from pmesh_tpu.models.fastpm import Solver
+    from pmesh_tpu.ops import binned as bn
+
+    pmb = ParticleMesh(Nmesh=[Nb] * 3, BoxSize=float(Nb),
+                       dtype='f4', resampler='cic')
+    sb = Solver(pmb)
+
+    # clustered IC, built host-side in numpy (one-time):
+    # a caustic-forming x-flow modulated along y/z (curved sheets,
+    # calibrated to max occupancy 4) + sub-cell y/z displacements
+    q1 = np.arange(Nb, dtype=np.float64)
+    ph = 2 * np.pi * q1 / lam
+    rng = np.random.RandomState(7)
+    mod = 1.0 + 0.3 * (np.sin(ph + 0.7)[:, None]
+                       * np.sin(ph + 1.3)[None, :])       # (y, z)
+    sx = (-Ax * np.sin(ph)[:, None, None] * mod[None, :, :]
+          + rng.uniform(-0.2, 0.2, (Nb, Nb, Nb)))
+    sy = np.broadcast_to((0.25 + 0.2 * np.sin(ph + 0.3))[:, None, None],
+                         (Nb, Nb, Nb))
+    sz = np.broadcast_to((0.25 + 0.2 * np.cos(ph + 0.9))[None, :, None],
+                         (Nb, Nb, Nb))
+    disp = tuple(jnp.asarray(s, jnp.float32) for s in (sx, sy, sz))
+    vel = tuple(0.02 * jax.random.normal(k, (Nb,) * 3, jnp.float32)
+                for k in jax.random.split(jax.random.key(1), 3))
+
+    # the adaptive loop itself folds the flow into slots: starts at
+    # nslots=2, measures the needed count at each rebase and grows —
+    # the growth events are the evidence the adaptive machinery ran
+    dslots, vslots, valid, overflow = sb.nbody_binned(
+        disp, vel, [0.5, 0.52, 0.54], nslots=2, rebase_every=2,
+        step_drift=0.25, fft='mxu', adaptive=True)
+    stats = dict(sb.last_binned_stats)
+    tot, occ = bn.occupancy(valid)
+    max_occ = int(occ)
+    npart = int(tot)
+
+    ms = _time_binned_superstep(jax, jnp, sb, dslots, vslots, valid,
+                                bounds=(-0.5, 1.5))
+    return {
+        "ms_per_step": round(ms, 3),
+        "Nmesh": Nb,
+        "max_occupancy": max_occ,
+        "nslots": len(dslots),
+        "adaptive_growth_events": stats['growth_events'],
+        "overflow": int(overflow),
+        "particles": npart,
+    }
 
 
 def measure_pipe_chain(spec_dtype=None, mode='spectral'):
@@ -294,6 +378,73 @@ def measure_imbalance():
     return load['imbalance']
 
 
+def measure_a2a_hlo():
+    """Derive the 1024^3 8-chip collective payload from the PROGRAM
+    (round-4 verdict #6), not a hand model: lower (no compile, no
+    execute) the sharded spectral and gradient force steps at full
+    1024^3 shape over an 8-device virtual mesh and sum the
+    stablehlo.all_to_all / collective_permute operand bytes.
+
+    Per-chip off-ICI bytes: all_to_all ships (n-1)/n of its per-shard
+    operand; collective_permute ships its whole operand.  Runs on CPU
+    (parent sets JAX_PLATFORMS=cpu + 8 virtual devices)."""
+    import re
+    jax = _jax()
+    import jax.numpy as jnp
+    import numpy as np
+    from pmesh_tpu import ParticleMesh
+    from pmesh_tpu.models.fastpm import Solver
+    from pmesh_tpu.parallel.pmesh import ProcessMesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = 8
+    procmesh = ProcessMesh(jax.devices()[:n])
+    N = 1024
+    pm = ParticleMesh(Nmesh=[N] * 3, BoxSize=float(N), dtype='f4',
+                      resampler='cic', procmesh=procmesh)
+    solver = Solver(pm)
+    sh = NamedSharding(procmesh.mesh, P(procmesh.axis, None, None))
+    aval = jax.ShapeDtypeStruct((N, N, N), jnp.float32, sharding=sh)
+
+    _DT_BYTES = {'f64': 8, 'f32': 4, 'bf16': 2, 'f16': 2,
+                 'i64': 8, 'i32': 4, 'u32': 4, 'i16': 2, 'u16': 2,
+                 'i8': 1, 'u8': 1, 'i1': 1}
+
+    def payload(mode):
+        lowered = jax.jit(lambda s: solver.force_lattice(
+            s, bounds=(0.0, 2.0), fft='mxu', mode=mode)).lower(
+                (aval, aval, aval))
+        # elide large constants: the DFT tables would otherwise print
+        # hundreds of MB of text
+        txt = lowered.compiler_ir('stablehlo').operation.get_asm(
+            large_elements_limit=8)
+        out = {'a2a_GB': 0.0, 'cp_GB': 0.0, 'a2a_ops': 0, 'cp_ops': 0}
+        pat = re.compile(
+            r'stablehlo\.(all_to_all|collective_permute)\b[^\n]*?'
+            r'->\s*(?:\()?tensor<([0-9x]+)x([a-z0-9]+)>')
+        for m in pat.finditer(txt):
+            kind, dims, dt = m.groups()
+            nel = 1
+            for d in dims.split('x'):
+                nel *= int(d)
+            gb = nel * _DT_BYTES.get(dt, 4) / 1e9
+            if kind == 'all_to_all':
+                out['a2a_GB'] += gb * (n - 1) / n
+                out['a2a_ops'] += 1
+            else:
+                out['cp_GB'] += gb          # whole operand off-chip
+                out['cp_ops'] += 1
+        out['a2a_GB'] = round(out['a2a_GB'], 4)
+        out['cp_GB'] = round(out['cp_GB'], 4)
+        out['offchip_GB_per_step'] = round(out['a2a_GB'] + out['cp_GB'],
+                                           4)
+        return out
+
+    return {'spectral': payload('spectral'),
+            'gradient': payload('gradient'),
+            'n_devices': n, 'Nmesh': N}
+
+
 # name -> (callable, kwargs, needs_tpu)
 MEASUREMENTS = {
     'headline':  (measure_step, {}, True),
@@ -304,11 +455,28 @@ MEASUREMENTS = {
                                  'mode': 'gradient'}, True),
     'binned256': (measure_binned, {'Nb': 256}, True),
     'binned512': (measure_binned, {'Nb': 512}, True),
+    'binned_clustered': (measure_binned_clustered, {}, True),
     'pipe':      (measure_pipe_chain, {}, True),
     'pipe_bf16': (measure_pipe_chain, {'spec_dtype': 'bf16'}, True),
     'pipe_grad': (measure_pipe_chain, {'mode': 'gradient'}, True),
     'imbalance': (measure_imbalance, {}, False),
+    'a2a_hlo':   (measure_a2a_hlo, {}, False),
 }
+
+# extras in priority order: the record fills front to back as the
+# budget allows.  The nv=6 monsters go last (they can wedge the chip
+# lease for minutes in a way that outlives the process — measured
+# round 4).
+EXTRA_ORDER = ('pipe', 'pipe_grad', 'a2a_hlo', 'gradient', 'bf16',
+               'binned_clustered', 'binned512', 'pipe_bf16',
+               'imbalance', 'binned256', 'nv6', 'nv6_grad')
+
+# generous per-extra caps (s); the remaining budget clips them
+_CHILD_CAP = {'binned_clustered': 900, 'binned512': 700, 'nv6': 900,
+              'nv6_grad': 900, 'a2a_hlo': 600}
+_CHILD_CAP_DEFAULT = 600
+_MIN_CHILD_S = 120          # don't even start with less than this
+_COOLDOWN_S = 120           # chip-lease cool-down before a retry
 
 
 def _run_child(name):
@@ -323,13 +491,16 @@ def _run_child(name):
         import jax.numpy as jnp
         kw = {'spec_dtype': jnp.bfloat16}
     val = fn(**kw)
-    print(json.dumps({"name": name, "value": round(val, 3)}))
+    if isinstance(val, float):
+        val = round(val, 3)
+    print(json.dumps({"name": name, "value": val}))
 
 
-def _spawn(name, timeout=2400):
-    """Run one measurement in a fresh process; returns float or
-    'failed: ...'.  Retries once after a cool-down: a crashed TPU
-    client can wedge the chip lease for ~3-5 min."""
+def _spawn(name, timeout, allow_retry=False):
+    """Run one measurement in a fresh process; returns the child's
+    JSON value or 'failed: ...'.  Retries once after a cool-down only
+    when the caller's budget allows: a crashed TPU client can wedge
+    the chip lease for minutes."""
     _, _, needs_tpu = MEASUREMENTS[name]
     env = dict(os.environ)
     if not needs_tpu:
@@ -337,7 +508,8 @@ def _spawn(name, timeout=2400):
         env['XLA_FLAGS'] = (env.get('XLA_FLAGS', '')
                             + ' --xla_force_host_platform_device_count=8')
     last_err = None
-    for attempt in range(2):
+    attempts = 2 if allow_retry else 1
+    for attempt in range(attempts):
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
@@ -354,59 +526,50 @@ def _spawn(name, timeout=2400):
             last_err = 'timeout %ds' % timeout
         except Exception as e:  # parse errors etc.
             last_err = str(e)[:110]
-        if attempt == 0 and needs_tpu:
-            time.sleep(240)     # chip lease cool-down before retry
+        if attempt + 1 < attempts and needs_tpu:
+            time.sleep(_COOLDOWN_S)
     return "failed: %s" % last_err
 
 
-def main():
-    if len(sys.argv) >= 3 and sys.argv[1] == '--measure':
-        _run_child(sys.argv[2])
-        return
-
-    results = {}
-    # order matters: the nv=6 monsters (216-shift programs) can wedge
-    # the chip lease for several minutes in a way that outlives the
-    # process (measured round 4: binned children failed with 'TPU
-    # backend error (InvalidArgument)' right after nv6 ran, green
-    # standalone) — run everything else first
-    for name in ('headline', 'bf16', 'gradient', 'binned256',
-                 'binned512', 'pipe', 'pipe_bf16', 'pipe_grad',
-                 'nv6', 'nv6_grad', 'imbalance'):
-        results[name] = _spawn(name)
-        print("# %s: %s" % (name, results[name]), file=sys.stderr)
-
+def _build_result(results):
+    """The full result record from whatever has been measured so far
+    (unmeasured extras carry their status strings)."""
     dt = results['headline']
-    if not isinstance(dt, float):
-        # headline MUST be a number; fail loudly so the driver's
-        # record shows rc!=0 rather than a silent nonsense line
-        print(json.dumps({"metric": "pm_gravity_step_512^3_ms",
-                          "error": dt}))
-        raise SystemExit(1)
+    r = dict(results)
 
     # the 8-chip projection: measured per-chip compute + the pencil
-    # a2a payload (3 f32 (r,i) pairs, 7/8 off-chip) at a stated ICI
-    # bandwidth.  v5e ICI is ~180 GB/s/chip aggregate; 100 GB/s
-    # effective all_to_all is the conservative anchor, with the
-    # 50/200 GB/s bounds recorded alongside.
+    # a2a payload at a stated ICI bandwidth.  The payload comes from
+    # the lowered 8-device program's own collectives when the a2a_hlo
+    # extra has run (round-4 verdict #6); the hand model (3 f32 (r,i)
+    # spectrum pairs, 7/8 off-chip) is kept as a cross-check.
     PAIR_GB = 2 * 128 * 1024 * 512 * 4 / 1e9
-    a2a_gb = 3 * PAIR_GB * 7 / 8
+    hand_gb = {'spectral': 3 * PAIR_GB * 7 / 8,
+               'gradient': 2 * PAIR_GB * 7 / 8}
+    hlo = r.get('a2a_hlo')
+    hlo_ok = isinstance(hlo, dict)
 
-    def project(pipe, half=False, pairs=3):
+    def project(pipe, mode, half=False):
         if not isinstance(pipe, float):
             return pipe
-        # gradient mode ships 2 spectrum pairs (forward + potential)
-        # instead of the spectral triple's 3
-        gb = a2a_gb * (0.5 if half else 1.0) * (pairs / 3.0)
+        if hlo_ok:
+            gb = hlo[mode]['offchip_GB_per_step']
+            src = 'hlo'
+        else:
+            gb = hand_gb[mode]
+            src = 'hand-model'
+        if half:
+            gb *= 0.5       # bf16 spectra halve the a2a payload
         return {
             "at_50_GBps": round(pipe + gb / 50 * 1000, 1),
             "at_100_GBps": round(pipe + gb / 100 * 1000, 1),
             "at_200_GBps": round(pipe + gb / 200 * 1000, 1),
+            "payload_GB": round(gb, 3),
+            "payload_source": src,
         }
 
     N = 512
     mp_per_s = (N ** 3 / 1e6) / (dt / 1000.0)
-    result = {
+    return {
         "metric": "pm_gravity_step_512^3_ms",
         "value": round(dt, 3),
         "unit": "ms",
@@ -418,36 +581,92 @@ def main():
                       "paint/readout + Cooley-Tukey MXU FFT "
                       "(split-Nyquist, folded force kernels); one "
                       "subprocess per measurement (shared XLA cache)",
-            "bf16_step_ms": results['bf16'],
-            "gradient_mode_step_ms": results['gradient'],
-            "realistic_nv6_step_ms": results['nv6'],
-            "realistic_nv6_gradient_step_ms": results['nv6_grad'],
-            "binned_step_256^3_ms": results['binned256'],
-            "binned_step_512^3_ms": results['binned512'],
+            "bf16_step_ms": r['bf16'],
+            "gradient_mode_step_ms": r['gradient'],
+            "realistic_nv6_step_ms": r['nv6'],
+            "realistic_nv6_gradient_step_ms": r['nv6_grad'],
+            "binned_step_256^3_ms": r['binned256'],
+            "binned_step_512^3_ms": r['binned512'],
+            # the binned path under REAL clustering: max occupancy
+            # >= 3, slot count grown by the adaptive machinery
+            # (growth events counted) — round-4 verdict #4
+            "binned_clustered": r['binned_clustered'],
             # MEASURED per-chip compute chain of the sharded 1024^3
             # step at the (128, 1024, 1024) slab shapes (the 8-chip
             # per-chip work), chain-differenced on this chip
-            "pipe_chain_per_chip_ms": results['pipe'],
-            "pipe_chain_per_chip_bf16_spectra_ms": results['pipe_bf16'],
+            "pipe_chain_per_chip_ms": r['pipe'],
+            "pipe_chain_per_chip_bf16_spectra_ms": r['pipe_bf16'],
             # gradient (QPM-family) chain: ONE Poisson inverse + the
             # 3-derivative readout; ships 2 spectrum pairs on ICI
-            "pipe_chain_grad_per_chip_ms": results['pipe_grad'],
-            # measured compute + projected pencil-a2a (3 f32 pairs,
-            # 7/8 off-chip = 1.41 GB/step/chip; x0.5 for bf16,
-            # x2/3 for gradient mode) at stated ICI bandwidths —
-            # multi-chip hardware is not reachable from this harness
-            "projected_1024^3_v5e8_step_ms": project(results['pipe']),
+            "pipe_chain_grad_per_chip_ms": r['pipe_grad'],
+            # collective payload of the lowered 8-device 1024^3
+            # program (stablehlo.all_to_all / collective_permute
+            # operand bytes), per chip per step
+            "collective_payload_hlo": r['a2a_hlo'],
+            # measured compute + the program's own collective payload
+            # at stated ICI bandwidths — multi-chip hardware is not
+            # reachable from this harness
+            "projected_1024^3_v5e8_step_ms": project(
+                r['pipe'], 'spectral'),
             "projected_1024^3_v5e8_bf16_spectra_ms": project(
-                results['pipe_bf16'], half=True),
+                r['pipe_bf16'], 'spectral', half=True),
             "projected_1024^3_v5e8_gradient_ms": project(
-                results['pipe_grad'], pairs=2),
+                r['pipe_grad'], 'gradient'),
             # clustered-state ghost/paint-work imbalance across an
             # 8-device mesh (reference get_exchange_cost role)
-            "ghost_imbalance_clustered_8dev": results['imbalance'],
+            "ghost_imbalance_clustered_8dev": r['imbalance'],
             "particles_Mps": round(mp_per_s, 1),
         },
     }
-    print(json.dumps(result))
+
+
+def _emit(results):
+    print(json.dumps(_build_result(results)), flush=True)
+
+
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == '--measure':
+        _run_child(sys.argv[2])
+        return
+
+    budget = float(os.environ.get('BENCH_BUDGET_S', '1500'))
+    t0 = time.monotonic()
+
+    def remaining():
+        return budget - (time.monotonic() - t0)
+
+    results = {name: "pending" for name in MEASUREMENTS}
+
+    # ---- headline FIRST; a complete record exists the moment it's in
+    head_to = max(300.0, min(1200.0, remaining() - 60.0))
+    results['headline'] = _spawn(
+        'headline', timeout=head_to,
+        allow_retry=remaining() > head_to + _COOLDOWN_S + 120)
+    print("# headline: %s" % results['headline'], file=sys.stderr)
+    if not isinstance(results['headline'], float):
+        # headline MUST be a number; fail loudly so the driver's
+        # record shows rc!=0 rather than a silent nonsense line
+        print(json.dumps({"metric": "pm_gravity_step_512^3_ms",
+                          "error": results['headline']}), flush=True)
+        raise SystemExit(1)
+    _emit(results)
+
+    # ---- extras under the remaining budget, re-emitting the full
+    # (progressively enriched) record after each one: the LAST
+    # printed line is always the most complete record
+    for name in EXTRA_ORDER:
+        rem = remaining()
+        if rem < _MIN_CHILD_S + 30:
+            results[name] = "skipped (budget)"
+        else:
+            cap = _CHILD_CAP.get(name, _CHILD_CAP_DEFAULT)
+            child_to = min(cap, rem - 30.0)
+            results[name] = _spawn(
+                name, timeout=child_to,
+                allow_retry=remaining() > child_to + _COOLDOWN_S
+                + _MIN_CHILD_S)
+        print("# %s: %s" % (name, results[name]), file=sys.stderr)
+        _emit(results)
 
 
 if __name__ == '__main__':

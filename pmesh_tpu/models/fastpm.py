@@ -1015,6 +1015,7 @@ class Solver(object):
 
         R = int(rebase_every)
         done = 0
+        growth_events = 0
         while done < nsteps:
             r = min(R, nsteps - done)
             coeffs = (K1[done:done + r], D1s[done:done + r],
@@ -1023,11 +1024,20 @@ class Solver(object):
                 dslots, vslots, valid, coeffs)
             done += r
             Kout = max(K, needed(dslots, valid, bounds))
+            if Kout > K:
+                growth_events += 1
             dslots, valid, (vslots,), ov = _bn.rebase(
                 dslots, valid, bounds, extras=(vslots,),
                 nslots_out=Kout, procmesh=pmh)
             overflow += int(ov)
             K = Kout
+        # observability for benches/monitors: how often the state grew
+        # (each growth = one recompile of the KDK chunk) and where it
+        # ended up — the adaptive analog of the reference's
+        # any-occupancy per-particle loop (_window_generics.h:21-72)
+        self.last_binned_stats = {'growth_events': growth_events,
+                                  'final_nslots': K,
+                                  'overflow': overflow}
         return dslots, vslots, valid, jnp.asarray(overflow,
                                                   jnp.int32)
 
