@@ -180,8 +180,33 @@ class Solver(object):
         the initial state); no-op on a single device."""
         fpm = self.fpm
         if fpm.procmesh is None or fpm.procmesh.size <= 1 \
-                or not (fpm._even_mesh or fpm._uneven1d):
+                or not (fpm._even_mesh or fpm._uneven1d
+                        or fpm._pencil2d):
             return None
+        if fpm._pencil2d:
+            # 2-d pencil grid: per-channel Moore-neighborhood
+            # capacities (corner channels carry orders of magnitude
+            # fewer ghosts than faces — measure each)
+            from ..parallel import exchange2d as _ex2
+            X = jnp.asarray(X)
+            g0 = X[:, 0] * jnp.asarray(fpm.affine.scale[0], X.dtype)
+            g1 = X[:, 1] * jnp.asarray(fpm.affine.scale[1], X.dtype)
+            smoothing = fpm.resampler.support * 0.5
+            npx, npy = fpm.procmesh.grid
+            N0, N1 = int(fpm.Nmesh[0]), int(fpm.Nmesh[1])
+            ks = _ex2._default_ksides(smoothing, N0 // npx, N1 // npy)
+            counts, reach = _ex2.measure_ghosts2d(
+                fpm.procmesh, g0, g1, N0, N1, X.shape[0], smoothing,
+                ksides=ks)
+            if reach[0] > ks[0] or reach[1] > ks[1]:
+                raise ValueError(
+                    "particles reach %s slabs from home (> ksides="
+                    "%s): reshard before tuning "
+                    "(pm.reshard_particles)" % (reach, ks))
+            caps = tuple(max(8, int(np.ceil(float(c) * float(slack))))
+                         for c in counts)
+            self._exch_kwargs = dict(kside=ks, capacity=caps)
+            return self._exch_kwargs
         from ..parallel import exchange as _ex
         X = jnp.asarray(X)
         g0 = X[:, 0] * jnp.asarray(fpm.affine.scale[0], X.dtype)
@@ -303,13 +328,18 @@ class Solver(object):
             Xb = jax.lax.optimization_barrier(X)
             from ..parallel.exchange import (ShardedLayout,
                                              readout_sharded)
+            from ..parallel.exchange2d import (ShardedLayout2D,
+                                               readout_sharded2d)
             # gradient readouts return d/dpos in SIMULATION units
             # (the vjp convention), so no cell factor here
-            if isinstance(layout, ShardedLayout):
+            if isinstance(layout, (ShardedLayout, ShardedLayout2D)):
                 # fused: ONE exchange + ONE stencil program + ONE
                 # ghost gather for all ndim derivative readouts
                 a = fpm.affine
-                vals = readout_sharded(
+                _ro = (readout_sharded2d
+                       if isinstance(layout, ShardedLayout2D)
+                       else readout_sharded)
+                vals = _ro(
                     layout, phi.value, Xb, a.scale,
                     fpm.resampler.window, diffdir='all',
                     translate=a.translate)
@@ -327,11 +357,17 @@ class Solver(object):
         Xb = jax.lax.optimization_barrier(X)
         a = fpm.affine
         from ..parallel.exchange import ShardedLayout, readout_sharded
-        if isinstance(layout, ShardedLayout):
+        from ..parallel.exchange2d import (ShardedLayout2D,
+                                           readout_sharded2d)
+        if isinstance(layout, (ShardedLayout, ShardedLayout2D)):
             # device-sharded particles: ghost images read their local
-            # slab; gather('sum') reassembles the straddled stencils
-            vals = readout_sharded(layout, meshes, Xb, a.scale,
-                                   fpm.resampler.window)
+            # slab/pencil; gather('sum') reassembles the straddled
+            # stencils
+            _ro = (readout_sharded2d
+                   if isinstance(layout, ShardedLayout2D)
+                   else readout_sharded)
+            vals = _ro(layout, meshes, Xb, a.scale,
+                       fpm.resampler.window)
         else:
             vals = _paint_ops.readout(meshes, Xb,
                                       window=fpm.resampler.window,

