@@ -206,6 +206,8 @@ class Solver(object):
             caps = tuple(max(8, int(np.ceil(float(c) * float(slack))))
                          for c in counts)
             self._exch_kwargs = dict(kside=ks, capacity=caps)
+            self.last_load = _ex2.measure_load2d(
+                fpm.procmesh, g0, g1, N0, N1, smoothing, ksides=ks)
             return self._exch_kwargs
         from ..parallel import exchange as _ex
         X = jnp.asarray(X)
@@ -1208,7 +1210,8 @@ class Solver(object):
 
         fpm = self.fpm
         sharded = (fpm.procmesh is not None and fpm.procmesh.size > 1
-                   and (fpm._even_mesh or fpm._uneven1d))
+                   and (fpm._even_mesh or fpm._uneven1d
+                        or fpm._pencil2d))
         F = force(state.X)
         Q, S, V = state.Q, state.S, state.V
         for i, (ai, af) in enumerate(zip(time_steps[:-1],
@@ -1216,14 +1219,26 @@ class Solver(object):
             (S, V, F), _ = step((S, V, F),
                                 (K1[i], D1s[i], K2[i]), Q)
             if rebalance is not None and sharded:
-                from ..parallel import exchange as _ex
                 X = Q + S
-                g0 = X[:, 0] * jnp.asarray(fpm.affine.scale[0],
-                                           X.dtype)
-                kside = self._exch_kwargs.get('kside')
-                self.last_load = _ex.measure_load(
-                    fpm.procmesh, g0, int(fpm.Nmesh[0]),
-                    fpm.resampler.support * 0.5, kside=kside)
+                smoothing = fpm.resampler.support * 0.5
+                if fpm._pencil2d:
+                    from ..parallel import exchange2d as _ex2
+                    g0 = X[:, 0] * jnp.asarray(fpm.affine.scale[0],
+                                               X.dtype)
+                    g1 = X[:, 1] * jnp.asarray(fpm.affine.scale[1],
+                                               X.dtype)
+                    self.last_load = _ex2.measure_load2d(
+                        fpm.procmesh, g0, g1, int(fpm.Nmesh[0]),
+                        int(fpm.Nmesh[1]), smoothing,
+                        ksides=self._exch_kwargs.get('kside'))
+                else:
+                    from ..parallel import exchange as _ex
+                    g0 = X[:, 0] * jnp.asarray(fpm.affine.scale[0],
+                                               X.dtype)
+                    self.last_load = _ex.measure_load(
+                        fpm.procmesh, g0, int(fpm.Nmesh[0]),
+                        smoothing,
+                        kside=self._exch_kwargs.get('kside'))
                 if self.last_load['imbalance'] > float(rebalance):
                     _, Q, S, V, F = fpm.reshard_particles(
                         X, Q, S, V, F)

@@ -33,6 +33,12 @@ The per-step cost is nslots * the lattice cost with nv=2 (8 passes),
 so moderately clustered distributions (occupancy <= nslots) run
 within a small factor of the pure-lattice path — the TPU answer to
 the reference's general-position scatter.
+
+Scope note: like ops/gridpm.py, the slot-lattice assumes a uniform
+window width — per-particle ``hsml`` (reference _window_imp.c:24-47)
+is not supported on this fast path; variable-smoothing catalogs take
+the generic ops/paint.py / sharded-exchange paths (full hsml
+support).
 """
 import jax
 import jax.numpy as jnp
@@ -81,14 +87,29 @@ def needed_slots(dslots, valid, drift_bounds):
     """
     ndim = len(dslots[0])
     axes = tuple(range(ndim))
-    offsets = _drift_offsets(drift_bounds, ndim)
-    count = jnp.zeros(dslots[0][0].shape, jnp.int32)
-    for k in range(len(dslots)):
-        for off in offsets:
-            sel = valid[k] > 0
+    offsets = jnp.asarray(_drift_offsets(drift_bounds, ndim),
+                          jnp.int32)
+    # floor once per slot/axis; the offset loop is a lax.scan with
+    # DYNAMIC rolls — unrolling K * |offsets| roll+compare passes
+    # keeps too many mesh temporaries live (measured: 37 GB at 384^3
+    # with (-4, 5) bounds) and blows both HBM and compile time for
+    # wide drift bounds
+    floors = tuple(tuple(jnp.floor(d).astype(jnp.int32) for d in dk)
+                   for dk in dslots)
+    occ = tuple(v > 0 for v in valid)
+    count0 = jnp.zeros(dslots[0][0].shape, jnp.int32)
+
+    def body(count, off):
+        for k in range(len(dslots)):
+            sel = occ[k]
             for d in range(ndim):
-                sel = sel & (jnp.floor(dslots[k][d]) == off[d])
-            count = count + jnp.roll(sel, off, axes).astype(jnp.int32)
+                sel = sel & (floors[k][d] == off[d])
+            count = count + jnp.roll(sel.astype(jnp.int32),
+                                     tuple(off[d] for d in
+                                           range(ndim)), axes)
+        return count, None
+
+    count, _ = jax.lax.scan(body, count0, offsets)
     return jnp.max(count)
 
 

@@ -48,6 +48,27 @@ def _shift2(x, vy, vz):
     return x
 
 
+def _shift2_dyn(x, vy, vz):
+    """_shift2 with TRACED shifts (dynamic VMEM rotate), for the
+    fori_loop kernel forms (see _use_fori)."""
+    n1, n2 = x.shape
+    x = pltpu.roll(x, (-vy) % n1, 0)
+    x = pltpu.roll(x, (-vz) % n2, 1)
+    return x
+
+
+def _use_fori(N1, N2):
+    """The (oy, oz) offset loop runs as a lax.fori_loop with dynamic
+    rotates instead of a 9x unroll: full unrolling keeps every
+    iteration's plane temporaries live and blows scoped VMEM at
+    production plane sizes (measured: the 54-image assign kernel
+    needs 211 MB at 512^2 planes vs the 128 MB cap).  Mosaic's
+    dynamic_rotate rejects sub-128-lane vectors (memory: gridpm
+    readout), so narrow planes keep the unrolled form — they are far
+    below any VMEM limit anyway."""
+    return N2 >= 128
+
+
 def _extend_rows(base, lo, hi):
     """rows [-lo, n0+hi) with periodic wrap."""
     n0 = base.shape[0]
@@ -120,42 +141,70 @@ def _rebase_call(dext, vext, eext, K, Kout, nextra, nrows):
         nv = [jnp.zeros((N1, N2), dtype) for _ in range(Kout)]
         ne = [[[jnp.zeros((N1, N2), dtype) for _ in range(3)]
                for _ in range(Kout)] for _ in range(nextra)]
+        fori = _use_fori(N1, N2)
 
+        def image(carry, d, val, eplanes, ox, oy, oz, shift):
+            running, over, nv, nd, ne = carry
+            fdt = d[0].dtype
+            sel = (val > 0) & (jnp.floor(d[0]) == ox)
+            sel = sel & (jnp.floor(d[1]) == jnp.asarray(oy, fdt))
+            sel = sel & (jnp.floor(d[2]) == jnp.asarray(oz, fdt))
+            # rotate as f32: Mosaic's dynamic rotate rejects
+            # sub-32-bit (bool) data
+            arr = shift(jnp.where(sel, 1.0, 0.0).astype(
+                jnp.float32), -oy, -oz) > 0
+            rank = running
+            running = running + arr.astype(jnp.int32)
+            over = over + jnp.sum(jnp.where(
+                arr & (rank >= Kout), 1.0, 0.0)).astype(jnp.float32)
+            offa = (ox, oy, oz)
+            moved_d = [shift(d[a] - jnp.asarray(offa[a], fdt),
+                             -oy, -oz) for a in range(3)]
+            moved_e = [[shift(eplanes[e][a], -oy, -oz)
+                        for a in range(3)] for e in range(nextra)]
+            nv = list(nv)
+            nd = [list(row) for row in nd]
+            ne = [[list(row) for row in blk] for blk in ne]
+            for j in range(Kout):
+                put = arr & (rank == j)
+                nv[j] = jnp.where(put, jnp.asarray(1, dtype), nv[j])
+                for a in range(3):
+                    nd[j][a] = jnp.where(put, moved_d[a], nd[j][a])
+                    for e in range(nextra):
+                        ne[e][j][a] = jnp.where(
+                            put, moved_e[e][a], ne[e][j][a])
+            return (running, over, nv, nd, ne)
+
+        carry = (running, over, nv, nd, ne)
         for k in range(K):
-            for off in offsets:
-                ox, oy, oz = off
+            for ox in (-1, 0, 1):
                 # arrivals at plane p with x-offset ox come from
                 # source plane p - ox; ext slot j holds plane p+j-1
                 slot = 1 - ox
                 d = [drefs[slot][0, k, a] for a in range(3)]
                 val = vrefs[slot][0, k]
-                sel = val > 0
-                for a in range(3):
-                    sel = sel & (jnp.floor(d[a]) == off[a])
-                # rotate as f32: Mosaic's dynamic rotate rejects
-                # sub-32-bit (bool) data
-                arr = _shift2(jnp.where(sel, 1.0, 0.0).astype(
-                    jnp.float32), -oy, -oz) > 0
-                rank = running
-                running = running + arr.astype(jnp.int32)
-                over = over + jnp.sum(jnp.where(
-                    arr & (rank >= Kout), 1.0, 0.0)).astype(
-                        jnp.float32)
-                moved_d = [_shift2(d[a] - off[a], -oy, -oz)
-                           for a in range(3)]
-                moved_e = [[_shift2(erefs[slot][0, e * K + k, a],
-                                    -oy, -oz) for a in range(3)]
+                eplanes = [[erefs[slot][0, e * K + k, a]
+                            for a in range(3)]
                            for e in range(nextra)]
-                for j in range(Kout):
-                    put = arr & (rank == j)
-                    nv[j] = jnp.where(put, jnp.asarray(1, dtype),
-                                      nv[j])
-                    for a in range(3):
-                        nd[j][a] = jnp.where(put, moved_d[a],
-                                             nd[j][a])
-                        for e in range(nextra):
-                            ne[e][j][a] = jnp.where(
-                                put, moved_e[e][a], ne[e][j][a])
+                if fori:
+                    def body(i, carry, d=d, val=val,
+                             eplanes=eplanes, ox=ox):
+                        oy = i // 3 - 1
+                        oz = i % 3 - 1
+                        return image(carry, d, val, eplanes, ox,
+                                     oy, oz, _shift2_dyn)
+                    flat, tree = jax.tree_util.tree_flatten(carry)
+                    def fbody(i, flat, body=body, tree=tree):
+                        c = jax.tree_util.tree_unflatten(tree, flat)
+                        return jax.tree_util.tree_leaves(body(i, c))
+                    flat = jax.lax.fori_loop(0, 9, fbody, flat)
+                    carry = jax.tree_util.tree_unflatten(tree, flat)
+                else:
+                    for oy, oz in itertools.product((-1, 0, 1),
+                                                    repeat=2):
+                        carry = image(carry, d, val, eplanes, ox,
+                                      oy, oz, _shift2)
+        running, over, nv, nd, ne = carry
 
         for j in range(Kout):
             ov_ref[0, j] = nv[j]
@@ -258,6 +307,7 @@ def _boundary_ext(a, axis):
 
 def _assign_kernel(K, Kout, N1, N2, dtype, with_route=True):
     offsets = list(itertools.product((-1, 0, 1), repeat=3))
+    fori = _use_fori(N1, N2)
 
     def kernel(*refs):
         drefs = refs[0:3]          # x-window slots ox = -1, 0, +1
@@ -272,34 +322,72 @@ def _assign_kernel(K, Kout, N1, N2, dtype, with_route=True):
         rt = [jnp.full((N1, N2), -1.0, jnp.float32)
               for _ in range(Kout)]
 
+        def image(carry, d, val, ox, oy, oz, code, shift):
+            """one (slot, offset) image in arrival-rank order; oy/oz
+            may be traced (fori form) or python ints (unrolled)."""
+            running, over, nv, rt, nd = carry
+            sel = (val > 0) & (jnp.floor(d[0]) == ox)
+            fdt = d[0].dtype
+            sel = sel & (jnp.floor(d[1])
+                         == jnp.asarray(oy, fdt))
+            sel = sel & (jnp.floor(d[2])
+                         == jnp.asarray(oz, fdt))
+            arr = shift(jnp.where(sel, 1.0, 0.0).astype(
+                jnp.float32), -oy, -oz) > 0
+            rank = running
+            running = running + arr.astype(jnp.int32)
+            over = over + jnp.sum(jnp.where(
+                arr & (rank >= Kout), 1.0, 0.0)).astype(jnp.float32)
+            offa = (ox, oy, oz)
+            moved_d = [shift(d[a] - jnp.asarray(offa[a], fdt),
+                             -oy, -oz) for a in range(3)]
+            nv = list(nv)
+            rt = list(rt)
+            nd = [list(row) for row in nd]
+            for j in range(Kout):
+                put = arr & (rank == j)
+                nv[j] = jnp.where(put, jnp.asarray(1, dtype), nv[j])
+                rt[j] = jnp.where(put, code, rt[j])
+                for a in range(3):
+                    nd[j][a] = jnp.where(put, moved_d[a], nd[j][a])
+            return (running, over, nv, rt, nd)
+
+        carry = (running, over, nv, rt, nd)
         for k in range(K):
-            for oi, off in enumerate(offsets):
-                ox, oy, oz = off
+            for ox in (-1, 0, 1):
                 slot = 1 - ox      # source plane = target - ox
                 d = [drefs[slot][k, a, 0] for a in range(3)]
                 val = vrefs[slot][k, 0]
-                sel = val > 0
-                for a in range(3):
-                    sel = sel & (jnp.floor(d[a]) == off[a])
-                arr = _shift2(jnp.where(sel, 1.0, 0.0).astype(
-                    jnp.float32), -oy, -oz) > 0
-                rank = running
-                running = running + arr.astype(jnp.int32)
-                over = over + jnp.sum(jnp.where(
-                    arr & (rank >= Kout), 1.0, 0.0)).astype(
-                        jnp.float32)
-                moved_d = [_shift2(d[a] - off[a], -oy, -oz)
-                           for a in range(3)]
-                code = np.float32(k * len(offsets) + oi)
-                for j in range(Kout):
-                    put = arr & (rank == j)
-                    nv[j] = jnp.where(put, jnp.asarray(1, dtype),
-                                      nv[j])
-                    rt[j] = jnp.where(put, code, rt[j])
-                    for a in range(3):
-                        nd[j][a] = jnp.where(put, moved_d[a],
-                                             nd[j][a])
+                base = k * len(offsets) + (ox + 1) * 9
+                if fori:
+                    # (oy, oz) as a lax.fori_loop with dynamic
+                    # rotates: 9x less live plane state than the
+                    # unroll (see _use_fori)
+                    def body(i, carry, d=d, val=val, ox=ox,
+                             base=base):
+                        oy = i // 3 - 1
+                        oz = i % 3 - 1
+                        code = (jnp.asarray(base, jnp.float32)
+                                + i.astype(jnp.float32))
+                        return image(carry, d, val, ox, oy, oz,
+                                     code, _shift2_dyn)
+                    # pytree carries: flatten the nested lists
+                    flat, tree = jax.tree_util.tree_flatten(carry)
+                    def fbody(i, flat, body=body, tree=tree):
+                        c = jax.tree_util.tree_unflatten(tree, flat)
+                        c = body(i, c)
+                        return jax.tree_util.tree_leaves(c)
+                    flat = jax.lax.fori_loop(0, 9, fbody, flat)
+                    carry = jax.tree_util.tree_unflatten(tree, flat)
+                else:
+                    for oi9, (oy, oz) in enumerate(
+                            itertools.product((-1, 0, 1),
+                                              repeat=2)):
+                        code = np.float32(base + oi9)
+                        carry = image(carry, d, val, ox, oy, oz,
+                                      code, _shift2)
 
+        running, over, nv, rt, nd = carry
         for j in range(Kout):
             ov_ref[j, 0] = nv[j]
             ort_ref[j, 0] = rt[j]
@@ -408,6 +496,7 @@ def _assign_split(dstack, vstack, K, Kout):
 
 def _apply_kernel(K, Kout, nextra, N1, N2, dtype):
     offsets = list(itertools.product((-1, 0, 1), repeat=3))
+    fori = _use_fori(N1, N2)
 
     def kernel(*refs):
         erefs = refs[0:3]          # (nextra*K, 3, 1, N1, N2) windows
@@ -416,20 +505,47 @@ def _apply_kernel(K, Kout, nextra, N1, N2, dtype):
 
         ne = [[[jnp.zeros((N1, N2), dtype) for _ in range(3)]
                for _ in range(Kout)] for _ in range(nextra)]
+
+        def image(ne, eplanes, oy, oz, code, shift):
+            ne = [[list(row) for row in blk] for blk in ne]
+            moved = [[shift(eplanes[e][a], -oy, -oz)
+                      for a in range(3)] for e in range(nextra)]
+            for j in range(Kout):
+                put = rref[j, 0] == code
+                for e in range(nextra):
+                    for a in range(3):
+                        ne[e][j][a] = jnp.where(
+                            put, moved[e][a], ne[e][j][a])
+            return ne
+
         for k in range(K):
-            for oi, off in enumerate(offsets):
-                ox, oy, oz = off
+            for ox in (-1, 0, 1):
                 slot = 1 - ox
-                code = np.float32(k * len(offsets) + oi)
-                moved = [[_shift2(erefs[slot][e * K + k, a, 0],
-                                  -oy, -oz) for a in range(3)]
-                         for e in range(nextra)]
-                for j in range(Kout):
-                    put = rref[j, 0] == code
-                    for e in range(nextra):
-                        for a in range(3):
-                            ne[e][j][a] = jnp.where(
-                                put, moved[e][a], ne[e][j][a])
+                eplanes = [[erefs[slot][e * K + k, a, 0]
+                            for a in range(3)]
+                           for e in range(nextra)]
+                base = k * len(offsets) + (ox + 1) * 9
+                if fori:
+                    def body(i, ne, eplanes=eplanes, base=base):
+                        oy = i // 3 - 1
+                        oz = i % 3 - 1
+                        code = (jnp.asarray(base, jnp.float32)
+                                + i.astype(jnp.float32))
+                        return image(ne, eplanes, oy, oz, code,
+                                     _shift2_dyn)
+                    flat, tree = jax.tree_util.tree_flatten(ne)
+                    def fbody(i, flat, body=body, tree=tree):
+                        c = jax.tree_util.tree_unflatten(tree, flat)
+                        return jax.tree_util.tree_leaves(body(i, c))
+                    flat = jax.lax.fori_loop(0, 9, fbody, flat)
+                    ne = jax.tree_util.tree_unflatten(tree, flat)
+                else:
+                    for oi9, (oy, oz) in enumerate(
+                            itertools.product((-1, 0, 1),
+                                              repeat=2)):
+                        ne = image(ne, eplanes,
+                                   oy, oz,
+                                   np.float32(base + oi9), _shift2)
         for e in range(nextra):
             for j in range(Kout):
                 for a in range(3):

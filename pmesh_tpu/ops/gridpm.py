@@ -22,6 +22,13 @@ _window_generics.h:58-61; XLA's scatter/gather on TPU are serial and
 rolls.  Periodic wrap is exactly ``jnp.roll``; under a sharded mesh
 the rolls lower to ICI collective-permutes of slab halos.
 
+Scope note: this path assumes a uniform window width — per-particle
+``hsml`` smoothing (reference _window_imp.c:24-47) is NOT supported
+here (an hsml-dependent support would make the offset set dynamic).
+SPH-style variable-smoothing catalogs must use the generic
+``ops/paint.py`` / sharded-exchange paths, which support hsml fully;
+PM gravity (this module's purpose) never uses hsml.
+
 The cost is ``prod_d nv_d`` passes where ``nv_d`` covers the
 displacement range [lo, hi] (in cells) plus the window support, so
 this path applies when displacements are bounded — true by

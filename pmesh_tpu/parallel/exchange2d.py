@@ -46,8 +46,8 @@ from jax.sharding import PartitionSpec as P
 from .exchange import _diff_scale, _check_hsml, _SHARDED_FN_CACHE
 
 __all__ = ["ShardedLayout2D", "decompose2d", "reshard2d",
-           "measure_ghosts2d", "paint_sharded2d", "readout_sharded2d",
-           "home_block2d"]
+           "measure_ghosts2d", "measure_load2d", "paint_sharded2d",
+           "readout_sharded2d", "home_block2d"]
 
 
 def _axis_offsets(k, np_ax):
@@ -509,6 +509,73 @@ def measure_ghosts2d(procmesh, g0, g1, N0, N1, npart, smoothing,
     c, rx, ry = _SHARDED_FN_CACHE[key](g0, g1)
     return (np.asarray(c[0]), (int(np.asarray(rx)[0, 0]),
                                int(np.asarray(ry)[0, 0])))
+
+
+def measure_load2d(procmesh, g0, g1, N0, N1, smoothing, ksides=None):
+    """Per-device work accounting on a concrete state — the 2-d form
+    of :func:`~pmesh_tpu.parallel.exchange.measure_load` (reference
+    get_exchange_cost / load roles, domain.py:125-136, 409-499).
+    Returns the same dict: residents / ghosts_sent / ghosts_recv /
+    paint_work / imbalance.  Host-syncs; call outside jit."""
+    npx, npy = procmesh.grid
+    rows0, rows1 = N0 // npx, N1 // npy
+    if ksides is None:
+        ksides = _default_ksides(smoothing, rows0, rows1)
+    kx, ky = ksides
+    chans = _channels2d(kx, ky, npx, npy)
+    s = float(smoothing)
+    axes = procmesh.axes
+    D = procmesh.size
+    npart = int(np.shape(g0)[0])
+    (g0, g1), npart_pad = _pad_particles(
+        (g0, g1), npart, D,
+        (_sentinel_ax(npx, rows0), _sentinel_ax(npy, rows1)))
+
+    def count(g0, g1):
+        bx = lax.axis_index(axes[0])
+        by = lax.axis_index(axes[1])
+        g0m = jnp.mod(g0, N0)
+        g1m = jnp.mod(g1, N1)
+        res = jnp.sum(((g0m >= bx * rows0) & (g0m < (bx + 1) * rows0)
+                       & (g1m >= by * rows1)
+                       & (g1m < (by + 1) * rows1)).astype(jnp.int32))
+        dlo0, dhi0 = _ball_interval(g0, s, bx, N0, rows0, npx)
+        dlo1, dhi1 = _ball_interval(g1, s, by, N1, rows1, npy)
+        cnts = [jnp.sum((_member(ox, dlo0, dhi0)
+                         & _member(oy, dlo1, dhi1)).astype(jnp.int32))
+                for ox, oy in chans]
+        return res[None], jnp.stack(cnts)[None]
+
+    key = ('measl2d', procmesh, N0, N1, (kx, ky), s)
+    if key not in _SHARDED_FN_CACHE:
+        _SHARDED_FN_CACHE[key] = jax.jit(shard_map(
+            count, mesh=procmesh.mesh,
+            in_specs=(P(axes), P(axes)),
+            out_specs=(P(axes), P(axes, None))))
+    res, sent = _SHARDED_FN_CACHE[key](g0, g1)
+    res = np.asarray(res)
+    sent = np.asarray(sent)                    # (D, C)
+    recv = np.zeros(D, np.int64)
+    for c, (ox, oy) in enumerate(chans):
+        for j in range(D):
+            jx, jy = divmod(j, npy)
+            recv[((jx + ox) % npx) * npy + (jy + oy) % npy] \
+                += sent[j, c]
+    # sentinels pad the LAST block's list and are homed in the last
+    # pencil; deduct them where counted
+    if npart_pad > npart:
+        res[-1] -= (npart_pad - npart)
+    nl = npart_pad // D
+    work = np.full(D, nl, np.int64) + recv
+    if npart_pad > npart:
+        work[-1] -= (npart_pad - npart)
+    return {
+        "residents": res,
+        "ghosts_sent": sent.sum(axis=1),
+        "ghosts_recv": recv,
+        "paint_work": work,
+        "imbalance": float(work.max() / max(work.mean(), 1e-300)),
+    }
 
 
 def decompose2d(procmesh, g0, g1, N0, N1, npart, smoothing,

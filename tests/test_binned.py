@@ -329,3 +329,41 @@ def test_nbody_binned_adaptive_growth():
     rho_a = np.asarray(bn.paint_binned(da, vaa, bounds=(-1.0, 2.0)))
     rho_4 = np.asarray(bn.paint_binned(d4, va4, bounds=(-1.0, 2.0)))
     assert_allclose(rho_a, rho_4, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_rebase_pallas_fori_bit_identical():
+    """the fori_loop kernel form (wide planes, N2 >= 128 — the
+    production VMEM shape; see binned_pallas._use_fori) is
+    BIT-identical to the XLA formulation too.  (4, 8, 128) planes:
+    small everywhere except the lane dim that selects the dynamic-
+    rotate path."""
+    from pmesh_tpu.ops import binned_pallas as bp
+    shape = (4, 8, 128)
+    assert bp._use_fori(shape[1], shape[2])
+    rng = np.random.RandomState(11)
+    ds = tuple(tuple(jnp.asarray(
+        rng.uniform(-0.9, 1.9, shape).astype('f4'))
+        for _ in range(3)) for _ in range(2))
+    va = (jnp.asarray((rng.uniform(size=shape) < 0.35)
+                      .astype('f4')),
+          jnp.asarray((rng.uniform(size=shape) < 0.15)
+                      .astype('f4')))
+    vel = tuple(tuple(jnp.asarray(
+        rng.normal(size=shape).astype('f4'))
+        for _ in range(3)) for _ in range(2))
+    Kout = int(bn.needed_slots(ds, va, (-0.9, 1.9)))
+    rx = bn.rebase(ds, va, (-0.9, 1.9), extras=(vel,),
+                   nslots_out=Kout, impl='xla')
+    rp = bn.rebase(ds, va, (-0.9, 1.9), extras=(vel,),
+                   nslots_out=Kout, impl='pallas')
+    assert int(rx[3]) == int(rp[3]) == 0
+    for j in range(Kout):
+        np.testing.assert_array_equal(np.asarray(rp[1][j]),
+                                      np.asarray(rx[1][j]))
+        for a in range(3):
+            np.testing.assert_array_equal(np.asarray(rp[0][j][a]),
+                                          np.asarray(rx[0][j][a]))
+            np.testing.assert_array_equal(
+                np.asarray(rp[2][0][j][a]),
+                np.asarray(rx[2][0][j][a]))

@@ -237,3 +237,39 @@ def test_nbody_kdk_parity(procmesh42):
                                atol=1e-8)
     np.testing.assert_allclose(np.asarray(st2.V), np.asarray(st1.V),
                                atol=1e-8)
+
+
+def test_measure_load2d(grids):
+    """Per-device load accounting on the 2-d grid (reference
+    get_exchange_cost/load roles, domain.py:125-136, 409-499)."""
+    from pmesh_tpu.parallel.exchange2d import measure_load2d
+    pm2, _ = grids
+    pos = pm2.reshard_particles(_random_state(seed=11, npart=800))
+    g0 = np.asarray(pos)[:, 0]
+    g1 = np.asarray(pos)[:, 1]
+    load = measure_load2d(pm2.procmesh, jnp.asarray(g0),
+                          jnp.asarray(g1), N, N, smoothing=1.0)
+    # residents counts the block particles homed in the block's own
+    # pencil; the equal-count quantile split leaves edge particles
+    # one block off-home, so the sum is <= npart but close
+    assert 0.8 * 800 <= load['residents'].sum() <= 800
+    assert (load['ghosts_sent'].sum() == load['ghosts_recv'].sum())
+    assert load['imbalance'] >= 1.0
+    # uniform state: paint work is near-balanced
+    assert load['imbalance'] < 1.6
+
+
+def test_nbody_rebalance_2d(procmesh42):
+    """Load-driven rebalance in the KDK loop on the 2-d grid: a
+    clustered state triggers the reshard + re-tune."""
+    from pmesh_tpu.models.fastpm import Solver, State
+    pmf2 = ParticleMesh(Nmesh=[N] * 3, BoxSize=float(N), dtype='f8',
+                        resampler='cic', procmesh=procmesh42)
+    s2 = Solver(pmf2)
+    rng = np.random.RandomState(12)
+    Q = jnp.asarray(pmf2.generate_uniform_particle_grid(shift=0.0))
+    S = jnp.asarray(rng.normal(scale=0.1, size=Q.shape))
+    V = jnp.zeros_like(S)
+    st = s2.nbody(State(Q, S, V), [0.5, 0.55, 0.6], rebalance=1.0001)
+    assert bool(jnp.isfinite(st.S).all())
+    assert s2.last_load['imbalance'] >= 1.0

@@ -107,7 +107,7 @@ def sweep_zy():
     slab, _, _, _ = data()
     for zkind in ('zct', 'dense'):
         for radix in (8, 4):
-            for bx in (1, 2):
+            for bx in (1, 2, 4, 8):
                 fm.TUNE.clear()
                 fm.TUNE['radix:1024'] = radix
                 fm.TUNE['bx:%dx%dx%d' % (ROWS, N1, Zm)] = bx
