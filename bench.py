@@ -142,7 +142,16 @@ def measure_binned(Nb):
 def _time_binned_superstep(jax, jnp, sb, dslots, vslots, valid,
                            bounds, reps=3):
     """Time one KDK step of a rebase_every=2 superstep on the given
-    binned state (shared by the occupancy-1 and clustered benches)."""
+    binned state (shared by the occupancy-1 and clustered benches).
+
+    The superstep runs as TWO donated programs (a KDK force step and
+    the rebase) rather than one: donated argument buffers can host a
+    program's OUTPUTS but never its temps, so the monolithic form
+    needs args (7 GB of state at 512^3 K=2) PLUS its full temp
+    arena (~12 GB) live at once — measured 19.4 GB on the 15.75 GB
+    chip.  Each split program peaks under ~12.5 GB.  Donation also
+    requires every state leaf to own a distinct buffer —
+    from_lattice guarantees that (ops/binned.py:59)."""
     import functools
     from pmesh_tpu.ops import binned as bn
     from pmesh_tpu.models.fastpm import leapfrog_factors, FastPM
@@ -154,25 +163,45 @@ def _time_binned_superstep(jax, jnp, sb, dslots, vslots, valid,
         F = sb.force_binned(d, v, bounds, fft='mxu')
         return tuple(tuple(f for f in s) for s in F)
 
-    # donate the state: at 512^3 K=2 the split rebase + donation
-    # keep old+new state from ever coexisting whole
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def superstep(dslots, vslots, valid):
+    def _aot(jfn, *args):
+        """AOT-compile with a raised XLA scoped-vmem limit: the
+        512^2-plane binned paint inside a donated program lands in a
+        kCustom fusion whose 33.4 MB scoped need XLA checks against
+        its own 16 MB default instead of the kernel's Mosaic limit
+        (CompilerParams.vmem_limit_bytes=112 MB).  The option is
+        proto-backed, so the axon compile helper forwards it."""
+        try:
+            return jfn.lower(*args).compile(compiler_options={
+                "xla_tpu_scoped_vmem_limit_kib": 65536})
+        except Exception:
+            return jfn       # non-TPU backends: plain dispatch
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def kdk(dslots, vslots, valid, k1, d1, k2):
         F = force(dslots, valid)
-        for i in range(2):
-            vslots = tuple(tuple(v + f * K1[i] for v, f in
-                                 zip(vk, fk))
-                           for vk, fk in zip(vslots, F))
-            dslots = tuple(tuple(s + v * D1s[i] for s, v in
-                                 zip(dk, vk))
-                           for dk, vk in zip(dslots, vslots))
-            F = force(dslots, valid)
-            vslots = tuple(tuple(v + f * K2[i] for v, f in
-                                 zip(vk, fk))
-                           for vk, fk in zip(vslots, F))
+        vslots = tuple(tuple(v + f * k1 for v, f in zip(vk, fk))
+                       for vk, fk in zip(vslots, F))
+        dslots = tuple(tuple(s + v * d1 for s, v in zip(dk, vk))
+                       for dk, vk in zip(dslots, vslots))
+        F = force(dslots, valid)
+        vslots = tuple(tuple(v + f * k2 for v, f in zip(vk, fk))
+                       for vk, fk in zip(vslots, F))
+        return dslots, vslots
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def reb(dslots, vslots, valid):
         dslots, valid, (vslots,), ov = bn.rebase(
             dslots, valid, bounds, extras=(vslots,))
         return dslots, vslots, valid, ov
+
+    kdk = _aot(kdk, dslots, vslots, valid, K1[0], D1s[0], K2[0])
+    reb = _aot(reb, dslots, vslots, valid)
+
+    def superstep(dslots, vslots, valid):
+        for i in range(2):
+            dslots, vslots = kdk(dslots, vslots, valid,
+                                 K1[i], D1s[i], K2[i])
+        return reb(dslots, vslots, valid)
 
     out = superstep(dslots, vslots, valid)
     float(jnp.sum(out[0][0][0][0, 0, :8]))

@@ -142,6 +142,75 @@ def leapfrog_factors(time_steps, factors, scheme='symp2'):
     return (jnp.asarray(Ks1), jnp.asarray(Ds1), jnp.asarray(Ks2))
 
 
+_REBASE_PROGS = {}
+_FOLD_PROGS = {}
+
+
+def _scoped_jit(fn, donate_argnums=()):
+    """jax.jit with a raised XLA scoped-vmem limit on TPU backends.
+
+    A donated program wraps the paint/rebase pallas calls in kCustom
+    fusions whose scoped allocations XLA checks against its own 16 MB
+    default instead of the kernel's Mosaic budget
+    (CompilerParams.vmem_limit_bytes) — at 384^3+ the 512^2-plane
+    paint needs ~19-34 MB and the compile fails with 'It should not
+    be possible to run out of scoped vmem'.  The option is
+    proto-backed, so it forwards through AOT remote compiles too."""
+    kw = {}
+    try:
+        if jax.default_backend() == 'tpu':
+            kw['compiler_options'] = {
+                "xla_tpu_scoped_vmem_limit_kib": 65536}
+    except Exception:
+        pass
+    return jax.jit(fn, donate_argnums=donate_argnums, **kw)
+
+
+def _fold_prog(nslots):
+    """cached jit program for the sort-based initial fold
+    (ops/binned.fold_lattice): handles ANY initial excursion in O(N)
+    memory, where the roll-based rebase on wide bounds enumerates
+    (hi-lo+1)^3 drift images and OOMs (measured 23.7 GB of HLO temps
+    at 384^3 bounds (-1.6, 2.6) on the 16 GB chip)."""
+    from ..ops import binned as _bn
+    if nslots not in _FOLD_PROGS:
+        @_scoped_jit
+        def run(disp, vel):
+            return _bn.fold_lattice(disp, vel, nslots=nslots)
+        _FOLD_PROGS[nslots] = run
+    return _FOLD_PROGS[nslots]
+
+
+def _rebase_prog(bounds, nslots_out, pmh, donate=True):
+    """ONE donated jit program for a standalone (eager-context)
+    rebase-with-velocities: inside a single program XLA recycles the
+    kernel outputs and poison-add temps, and donation lets the new
+    state land in the old state's buffers.  Called eagerly instead,
+    the old state, the kernel outputs AND the eager poison-add copies
+    all coexist — 2.5x the state size of peak HBM (measured
+    RESOURCE_EXHAUSTED at 384^3 K=2->4 on the 16 GB chip).
+
+    ``donate=False`` for the INITIAL rebase only: its slot-0 arrays
+    ARE the caller's disp/vel (from_lattice aliases, it does not
+    copy), and donating them would delete arrays the caller still
+    owns.  Loop-interior state is library-private — donate it.
+
+    Keyed by (bounds, nslots_out, procmesh, donate); the slot count
+    is part of jit's own shape key."""
+    from ..ops import binned as _bn
+    key = (bounds, nslots_out, pmh, donate)
+    if key not in _REBASE_PROGS:
+        @functools.partial(_scoped_jit,
+                           donate_argnums=(0, 1, 2) if donate else ())
+        def run(dslots, vslots, valid):
+            d2, va2, (v2,), ov = _bn.rebase(
+                dslots, valid, bounds, extras=(vslots,),
+                nslots_out=nslots_out, procmesh=pmh)
+            return d2, v2, va2, ov
+        _REBASE_PROGS[key] = run
+    return _REBASE_PROGS[key]
+
+
 class Solver(object):
     """End-to-end FastPM solver.
 
@@ -899,16 +968,26 @@ class Solver(object):
                                    and self.pm._even_mesh) \
             else None
 
-        dslots, vslots, valid = _bn.from_lattice(disp, vel,
-                                                 nslots=nslots)
         # fold any initial excursion into the slots right away
-        lo0 = float(jnp.min(jnp.stack([jnp.min(d) for dk in dslots
-                                       for d in dk])))
-        hi0 = float(jnp.max(jnp.stack([jnp.max(d) for dk in dslots
-                                       for d in dk])))
-        dslots, valid, (vslots,), overflow = _bn.rebase(
-            dslots, valid, (min(lo0, 0.0), max(hi0, 1.0)),
-            extras=(vslots,), procmesh=pmh)
+        if pmh is None:
+            # sort-based fold: any excursion, O(N) memory
+            dslots, vslots, valid, overflow = _fold_prog(nslots)(
+                disp, vel)
+        else:
+            # sharded: the plane-walk rebase keeps the slab layout —
+            # as ONE jit program: called eagerly, the rebase kernel
+            # outputs and the poison-add copies would coexist with
+            # the whole old state (measured RESOURCE_EXHAUSTED at
+            # 384^3 on the 16 GB chip before any KDK step ran)
+            dslots, vslots, valid = _bn.from_lattice(disp, vel,
+                                                     nslots=nslots)
+            lo0 = float(jnp.min(jnp.stack([jnp.min(d) for dk in dslots
+                                           for d in dk])))
+            hi0 = float(jnp.max(jnp.stack([jnp.max(d) for dk in dslots
+                                           for d in dk])))
+            dslots, vslots, valid, overflow = _rebase_prog(
+                (min(lo0, 0.0), max(hi0, 1.0)), None, pmh,
+                donate=False)(dslots, vslots, valid)
 
         def force_cells(dslots, valid):
             F = self.force_binned(dslots, valid, bounds, fft=fft,
@@ -949,7 +1028,7 @@ class Solver(object):
         nsuper = nsteps // R
         rem = nsteps - nsuper * R
 
-        @jax.jit
+        @_scoped_jit
         def run(dslots, vslots, valid, overflow):
             F = force_cells(dslots, valid)
             carry = (dslots, vslots, valid, F, overflow)
@@ -1002,9 +1081,13 @@ class Solver(object):
 
         def kdk_chunk(K, R):
             # jitted per (slot count, chunk length): K changes are
-            # rare (growth events), R changes twice (body + remainder)
+            # rare (growth events), R changes twice (body + remainder).
+            # The state is donated: at 384^3 K=4 the chunk's args
+            # (6.1 GB) plus its temp arena would otherwise brush the
+            # 16 GB chip.
             if (K, R) not in chunk_cache:
-                @jax.jit
+                @functools.partial(_scoped_jit,
+                                   donate_argnums=(0, 1))
                 def run(dslots, vslots, valid, coeffs):
                     F = force_cells(dslots, valid)
 
@@ -1038,22 +1121,34 @@ class Solver(object):
                     _bn.needed_slots, drift_bounds=b))
             return int(need_cache[(K, b)](dslots, valid))
 
-        dslots, vslots, valid = _bn.from_lattice(disp, vel,
-                                                 nslots=nslots)
-        lo0 = float(jnp.min(jnp.stack([jnp.min(d) for dk in dslots
-                                       for d in dk])))
-        hi0 = float(jnp.max(jnp.stack([jnp.max(d) for dk in dslots
-                                       for d in dk])))
-        b0 = (min(lo0, 0.0), max(hi0, 1.0))
-        K = max(nslots, needed(dslots, valid, b0))
-        dslots, valid, (vslots,), overflow = _bn.rebase(
-            dslots, valid, b0, extras=(vslots,), nslots_out=K,
-            procmesh=pmh)
+        growth_events = 0
+        if pmh is None:
+            # sort-based fold: measures the needed slot count from
+            # the in-cell ranks, then folds ANY initial excursion in
+            # O(N) memory (the roll-rebase on wide bounds OOMs —
+            # see _fold_prog)
+            K = max(nslots, int(jax.jit(_bn.fold_needed)(disp)))
+            dslots, vslots, valid, overflow = _fold_prog(K)(disp,
+                                                            vel)
+        else:
+            dslots, vslots, valid = _bn.from_lattice(disp, vel,
+                                                     nslots=nslots)
+            lo0 = float(jnp.min(jnp.stack([jnp.min(d) for dk in dslots
+                                           for d in dk])))
+            hi0 = float(jnp.max(jnp.stack([jnp.max(d) for dk in dslots
+                                           for d in dk])))
+            b0 = (min(lo0, 0.0), max(hi0, 1.0))
+            K = max(nslots, needed(dslots, valid, b0))
+            dslots, vslots, valid, overflow = _rebase_prog(
+                b0, K, pmh, donate=False)(dslots, vslots, valid)
         overflow = int(overflow)
+        if K > nslots:
+            # the initial fold already grew the state — evidence the
+            # adaptive machinery ran, same as a loop growth
+            growth_events += 1
 
         R = int(rebase_every)
         done = 0
-        growth_events = 0
         while done < nsteps:
             r = min(R, nsteps - done)
             coeffs = (K1[done:done + r], D1s[done:done + r],
@@ -1064,9 +1159,8 @@ class Solver(object):
             Kout = max(K, needed(dslots, valid, bounds))
             if Kout > K:
                 growth_events += 1
-            dslots, valid, (vslots,), ov = _bn.rebase(
-                dslots, valid, bounds, extras=(vslots,),
-                nslots_out=Kout, procmesh=pmh)
+            dslots, vslots, valid, ov = _rebase_prog(
+                bounds, Kout, pmh)(dslots, vslots, valid)
             overflow += int(ov)
             K = Kout
         # observability for benches/monitors: how often the state grew

@@ -46,8 +46,9 @@ import numpy as np
 
 from . import gridpm as _gp
 
-__all__ = ["from_lattice", "rebase", "paint_binned", "readout_binned",
-           "occupancy", "from_positions", "needed_slots", "grow_slots"]
+__all__ = ["from_lattice", "fold_lattice", "fold_needed", "rebase",
+           "paint_binned", "readout_binned", "occupancy",
+           "from_positions", "needed_slots", "grow_slots"]
 
 
 def from_lattice(disp, vel=None, nslots=2):
@@ -56,19 +57,126 @@ def from_lattice(disp, vel=None, nslots=2):
     ndim = len(disp)
     shape = disp[0].shape
     dtype = disp[0].dtype
-    zero_d = tuple(jnp.zeros(shape, dtype) for _ in range(ndim))
-    dslots = (tuple(disp),) + tuple(zero_d for _ in range(nslots - 1))
+
+    # every empty slot gets its OWN zero buffers: sharing one tuple
+    # between dslots and vslots makes the same device buffer appear
+    # under two arguments, and donating either one then invalidates
+    # the other (the axon TPU backend rejects the launch with an
+    # opaque INVALID_ARGUMENT) — donation of the state is how the
+    # 512^3 superstep avoids old+new state coexisting
+    def _zeros():
+        return tuple(jnp.zeros(shape, dtype) for _ in range(ndim))
+
+    dslots = (tuple(disp),) + tuple(_zeros() for _ in range(nslots - 1))
     valid = (jnp.ones(shape, dtype),) + tuple(
         jnp.zeros(shape, dtype) for _ in range(nslots - 1))
     if vel is None:
         return dslots, valid
-    vslots = (tuple(vel),) + tuple(zero_d for _ in range(nslots - 1))
+    vslots = (tuple(vel),) + tuple(_zeros() for _ in range(nslots - 1))
     return dslots, vslots, valid
+
+
+def _lattice_cells(disp):
+    """flat home-cell id + rank-in-cell of a lattice+displacement
+    state (shared by fold_lattice / fold_needed).  Returns
+    (flat_sorted, order, rank, fracs): fracs are mesh-shaped
+    fractional displacements wrt the new home cell."""
+    ndim = len(disp)
+    shape = disp[0].shape
+    dtype = disp[0].dtype
+    flat = None
+    fracs = []
+    for d in range(ndim):
+        ax = jnp.arange(shape[d], dtype=dtype).reshape(
+            (1,) * d + (-1,) + (1,) * (ndim - 1 - d))
+        g = jnp.mod(ax + disp[d], shape[d])
+        c = jnp.floor(g)
+        fracs.append(g - c)
+        ci = c.astype(jnp.int32)
+        flat = ci if flat is None else flat * shape[d] + ci
+    flat = flat.reshape(-1)
+    order = jnp.argsort(flat, stable=True)
+    flat_s = flat[order]
+    n = flat.shape[0]
+    i = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), flat_s[1:] != flat_s[:-1]])
+    start = jax.lax.cummax(jnp.where(is_start, i, 0))
+    rank = i - start
+    return flat_s, order, rank, fracs
+
+
+def fold_needed(disp):
+    """Max cell occupancy after folding a lattice + ARBITRARY
+    displacement state: the minimum ``nslots`` for
+    :func:`fold_lattice`.  Jittable; host-sync the scalar to pick a
+    static slot count."""
+    _, _, rank, _ = _lattice_cells(disp)
+    return jnp.max(rank) + 1
+
+
+def fold_lattice(disp, vel=None, nslots=2):
+    """Sort-based fold of a lattice + displacement state into a
+    ``nslots``-slot binned state — the IC-ingestion analog of
+    :func:`from_positions` (the reference side is the per-particle
+    decompose+paint that accepts any position,
+    pmesh/_window_generics.h:21-72).
+
+    Handles ARBITRARY excursions in O(N) memory: :func:`rebase` on a
+    wide initial excursion enumerates (hi-lo+1)^ndim roll images and
+    keeps K_in+K_out mesh states live per image (measured 23.7 GB of
+    HLO temps at 384^3, bounds (-1.6, 2.6), Kout=4 — past a 16 GB
+    chip), where this fold is one global sort plus one scatter per
+    payload field.  One-time cost; the production loop still uses the
+    plane-walk :func:`rebase` for its bounded per-step drift.
+
+    Like :func:`rebase`, overflow (a cell holding more than
+    ``nslots`` particles) is counted and NaN-poisons the fields.
+    Returns (dslots, valid, overflow) or with ``vel``
+    (dslots, vslots, valid, overflow).
+    """
+    ndim = len(disp)
+    shape = disp[0].shape
+    dtype = disp[0].dtype
+    size = int(np.prod(shape))
+    flat_s, order, rank, fracs = _lattice_cells(disp)
+    # int32 targets cap nslots*size below 2^31 (same contract as
+    # from_positions): 512^3 * K=15 fits; 1024^3 needs K=1
+    target = rank * size + flat_s
+    ok = rank < nslots
+    overflow = jnp.sum(jnp.where(ok, 0, 1))
+    target = jnp.where(ok, target, nslots * size)
+
+    def scatter(mesh_vals):
+        f = jnp.zeros((nslots * size + 1,), dtype).at[target].set(
+            mesh_vals.reshape(-1)[order], mode='drop')
+        return f[:-1].reshape((nslots,) + shape)
+
+    vfull = scatter(jnp.ones(shape, dtype))
+    dfull = [scatter(fracs[d]) for d in range(ndim)]
+    bad = jnp.where(overflow > 0, jnp.nan, 0.0).astype(dtype)
+    dslots = tuple(tuple(dfull[d][k] + bad for d in range(ndim))
+                   for k in range(nslots))
+    valid = tuple(vfull[k] for k in range(nslots))
+    if vel is None:
+        return dslots, valid, overflow
+    vfull_d = [scatter(vel[d]) for d in range(ndim)]
+    vslots = tuple(tuple(vfull_d[d][k] + bad for d in range(ndim))
+                   for k in range(nslots))
+    return dslots, vslots, valid, overflow
+
+
+def _icount(v):
+    """EXACT particle count of a 0/1 validity field: f32 summation
+    drifts by several units past ~2^24 ones (measured: a clean 384^3
+    fold read back 56,623,092 of 56,623,104 particles), and the
+    poison contract turns that drift into phantom overflow."""
+    return jnp.sum(v.astype(jnp.int32))
 
 
 def occupancy(valid):
     """total particle count and max cell occupancy."""
-    tot = sum(jnp.sum(v) for v in valid)
+    tot = sum(_icount(v) for v in valid)
     occ = sum(jnp.asarray(v) for v in valid)
     return tot, jnp.max(occ)
 
@@ -231,10 +339,10 @@ def rebase(dslots, valid, drift_bounds, extras=(), nslots_out=None,
     # losing a particle must never be silent: overflowed slots AND
     # particles whose drift escaped ``drift_bounds`` (their floor
     # matches no enumerated offset) both poison the result
-    total_in = sum(jnp.sum(v) for v in valid)
-    total_out = sum(jnp.sum(v) for v in new_v)
-    lost = total_in - total_out - overflow.astype(dtype)
-    overflow = overflow + jnp.abs(lost).astype(jnp.int32)
+    total_in = sum(_icount(v) for v in valid)
+    total_out = sum(_icount(v) for v in new_v)
+    lost = total_in - total_out - overflow
+    overflow = overflow + jnp.abs(lost)
     bad = jnp.where(overflow > 0, jnp.nan, 0.0).astype(dtype)
     new_d = tuple(tuple(x + bad for x in slot) for slot in new_d)
     new_e = tuple(tuple(tuple(x + bad for x in slot) for slot in e)
@@ -250,32 +358,52 @@ def _rebase_pallas(dslots, valid, extras, K, Kout, dtype,
     poison contract of :func:`rebase`)."""
     from . import binned_pallas as _bp
     shape = dslots[0][0].shape
-    dstack = jnp.stack([jnp.stack(dk) for dk in dslots])
-    vstack = jnp.stack(list(valid))
     nextra = len(extras)
-    if nextra:
-        estacks = jnp.stack([
-            jnp.stack([jnp.stack(ek) for ek in e]) for e in extras])
-    else:
-        estacks = jnp.zeros((0,), dtype)
     if procmesh is not None and procmesh.size > 1:
-        if nextra == 0:
+        dstack = jnp.stack([jnp.stack(dk) for dk in dslots])
+        vstack = jnp.stack(list(valid))
+        if nextra:
+            estacks = jnp.stack([
+                jnp.stack([jnp.stack(ek) for ek in e])
+                for e in extras])
+        else:
             estacks = jnp.zeros((0, K, 3) + shape, dtype)
         nd, nv, ne, overflow = _bp.rebase_fused_sharded(
             procmesh, dstack, vstack, estacks, K, Kout, nextra)
-    else:
-        nd, nv, ne, overflow = _bp.rebase_fused(
-            dstack, vstack, estacks, K, Kout, nextra)
-    total_in = jnp.sum(vstack)
-    total_out = jnp.sum(nv)
-    lost = total_in - total_out - overflow.astype(dtype)
-    overflow = overflow + jnp.abs(lost).astype(jnp.int32)
-    bad = jnp.where(overflow > 0, jnp.nan, 0.0).astype(dtype)
-    new_d = tuple(tuple(nd[j, a] + bad for a in range(3))
+        total_in = _icount(vstack)
+        total_out = _icount(nv)
+        lost = total_in - total_out - overflow
+        overflow = overflow + jnp.abs(lost)
+        bad = jnp.where(overflow > 0, jnp.nan, 0.0).astype(dtype)
+        new_d = tuple(tuple(nd[j, a] + bad for a in range(3))
+                      for j in range(Kout))
+        new_v = tuple(nv[j] for j in range(Kout))
+        new_e = tuple(
+            tuple(tuple(ne[e, j, a] + bad for a in range(3))
                   for j in range(Kout))
-    new_v = tuple(nv[j] for j in range(Kout))
+            for e in range(nextra))
+        return new_d, new_v, new_e, overflow
+
+    # single device: the tuple form — the state arrays feed the
+    # kernels directly, no (K, 3, N^3) stack/unstack copy temps
+    # (those alone are ~7 GB at 512^3 K=2 + velocities and OOMed the
+    # donated superstep)
+    dflat = tuple(x for dk in dslots for x in dk)
+    vtup = tuple(valid)
+    eflat = tuple(x for e in extras for ek in e for x in ek)
+    ndf, nvf, nef, overflow = _bp.rebase_fused_t(
+        dflat, vtup, eflat, K, Kout, nextra)
+    total_in = sum(_icount(v) for v in vtup)
+    total_out = sum(_icount(v) for v in nvf)
+    lost = total_in - total_out - overflow
+    overflow = overflow + jnp.abs(lost)
+    bad = jnp.where(overflow > 0, jnp.nan, 0.0).astype(dtype)
+    new_d = tuple(tuple(ndf[j * 3 + a] + bad for a in range(3))
+                  for j in range(Kout))
+    new_v = tuple(nvf)
     new_e = tuple(
-        tuple(tuple(ne[e, j, a] + bad for a in range(3))
+        tuple(tuple(nef[(e * Kout + j) * 3 + a] + bad
+                    for a in range(3))
               for j in range(Kout))
         for e in range(nextra))
     return new_d, new_v, new_e, overflow

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["rebase_fused"]
+__all__ = ["rebase_fused_t", "rebase_fused_sharded"]
 
 
 def _interpret():
@@ -246,57 +246,6 @@ def _rebase_call(dext, vext, eext, K, Kout, nextra, nrows):
     )(*args)
 
 
-def _unpack(outs, K, Kout, nextra, N0, N1, N2, dtype):
-    nd = jnp.moveaxis(outs[0], 0, 2)           # (Kout, 3, N0, N1, N2)
-    nv = jnp.moveaxis(outs[1], 0, 1)           # (Kout, N0, N1, N2)
-    overflow = jnp.sum(outs[2]).astype(jnp.int32)
-    if nextra:
-        ne = jnp.moveaxis(outs[3], 0, 2).reshape(
-            (nextra, Kout, 3, N0, N1, N2))
-    else:
-        ne = jnp.zeros((0,), dtype)
-    return nd, nv, ne, overflow
-
-
-@functools.partial(jax.jit, static_argnames=('K', 'Kout', 'nextra'))
-def rebase_fused(dstack, vstack, estacks, K, Kout, nextra):
-    """fused rebase of a binned state with drift offsets in [-1, 1].
-
-    Two-phase SPLIT execution (the 512^3-on-one-chip memory shape):
-
-    - phase A (assign) reads only displacements+validity through
-      no-copy sliding x-windows (the wrap touches 4 boundary planes,
-      not a whole extended copy of the state) and emits the new
-      displacements, validity, and a per-slot ROUTE code recording
-      which (slot, offset) image won each cell;
-    - phase B (apply) moves the extra payloads (velocities) by
-      replaying the route — the old displacements are DEAD before the
-      new velocities are born, so old+new state never coexist whole.
-
-    Peak HBM at 512^3 K=2 + velocities: ~13 GB vs ~23 GB for the
-    monolithic ext-copy form.  Bit-identical to the XLA formulation
-    (same k-major offset-lex image order; pinned by tests).
-
-    Parameters
-    ----------
-    dstack : (K, 3, N0, N1, N2) displacement fields
-    vstack : (K, N0, N1, N2) validity fields
-    estacks : (nextra, K, 3, N0, N1, N2) extra payloads (velocities)
-
-    Returns (new_dstack (Kout,3,...), new_vstack (Kout,...),
-    new_estacks (nextra,Kout,3,...), overflow ()).
-    """
-    _, _, N0, N1, N2 = dstack.shape
-    dtype = dstack.dtype
-    nd, nv, route, oo = _assign_split(dstack, vstack, K, Kout)
-    overflow = jnp.sum(oo).astype(jnp.int32)
-    if nextra:
-        ne = _apply_split(route, estacks, K, Kout, nextra)
-    else:
-        ne = jnp.zeros((0,), dtype)
-    return nd, nv, ne, overflow
-
-
 def _boundary_ext(a, axis):
     """planes [N0-2, N0-1, 0, 1] of ``a`` along ``axis`` — the only
     copied planes of the no-copy window scheme."""
@@ -305,33 +254,63 @@ def _boundary_ext(a, axis):
     return jnp.take(a, jnp.asarray(idx), axis=axis)
 
 
-def _assign_kernel(K, Kout, N1, N2, dtype, with_route=True):
+# --- tuple-form split rebase (no stack/unstack copies) ------------------
+#
+# The stacked forms above cost three full copies on the way in
+# (jnp.stack into (K,3,N^3) / (nextra,K,3,N^3) / (K,N^3)) and as many
+# on the way out — at 512^3 K=2 + velocities that is ~7 GB of pure
+# copy temps on top of the live state, which OOMed the 16 GB chip the
+# moment the superstep donated its buffers (XLA: 19.0 G of 15.75 G).
+# The tuple forms below feed the state arrays THEMSELVES to the
+# pallas calls (one ref per (slot, axis) array per x-window offset)
+# and emit one output array per (slot, axis) — the same plane-walk
+# kernels, the same k-major offset-lex image order, zero repacking.
+
+
+def _route_dtype(K):
+    """route codes are integers < 27 K + 27: bf16 stores them exactly
+    up to 256 (K <= 8) at half the HBM footprint and traffic of f32 —
+    the route field is Kout full meshes, 1 GB at 512^3 Kout=2."""
+    return jnp.bfloat16 if 27 * K + 27 <= 256 else jnp.float32
+
+
+def _assign_kernel_t(K, Kout, N1, N2, dtype):
+    """_assign_kernel with per-array refs.
+
+    refs: [d(slot, k, a) : 9K] [v(slot, k) : 3K]
+    outs: [nd(j, a) : 3 Kout] [nv(j) : Kout] [rt(j) : Kout] [oo]
+    (slot = x-window offset index 0..2; every ref is a (1, N1, N2)
+    plane block)."""
     offsets = list(itertools.product((-1, 0, 1), repeat=3))
     fori = _use_fori(N1, N2)
+    rdt = _route_dtype(K)
 
     def kernel(*refs):
-        drefs = refs[0:3]          # x-window slots ox = -1, 0, +1
-        vrefs = refs[3:6]
-        od_ref, ov_ref, ort_ref, oo_ref = refs[6:10]
+        dref = lambda slot, k, a: refs[slot * 3 * K + k * 3 + a]
+        vref = lambda slot, k: refs[9 * K + slot * K + k]
+        orefs = refs[12 * K:]
+        od = lambda j, a: orefs[j * 3 + a]
+        ov = lambda j: orefs[3 * Kout + j]
+        ort = lambda j: orefs[4 * Kout + j]
+        oo_ref = orefs[5 * Kout]
 
         running = jnp.zeros((N1, N2), jnp.int32)
         over = jnp.zeros((), jnp.float32)
         nd = [[jnp.zeros((N1, N2), dtype) for _ in range(3)]
               for _ in range(Kout)]
+        # rt accumulates in f32 (bf16 wheres would force an i1 mask
+        # relayout (8,128)->(16,128) Mosaic rejects); the STORE below
+        # casts to the route dtype
         nv = [jnp.zeros((N1, N2), dtype) for _ in range(Kout)]
         rt = [jnp.full((N1, N2), -1.0, jnp.float32)
               for _ in range(Kout)]
 
         def image(carry, d, val, ox, oy, oz, code, shift):
-            """one (slot, offset) image in arrival-rank order; oy/oz
-            may be traced (fori form) or python ints (unrolled)."""
             running, over, nv, rt, nd = carry
             sel = (val > 0) & (jnp.floor(d[0]) == ox)
             fdt = d[0].dtype
-            sel = sel & (jnp.floor(d[1])
-                         == jnp.asarray(oy, fdt))
-            sel = sel & (jnp.floor(d[2])
-                         == jnp.asarray(oz, fdt))
+            sel = sel & (jnp.floor(d[1]) == jnp.asarray(oy, fdt))
+            sel = sel & (jnp.floor(d[2]) == jnp.asarray(oz, fdt))
             arr = shift(jnp.where(sel, 1.0, 0.0).astype(
                 jnp.float32), -oy, -oz) > 0
             rank = running
@@ -356,13 +335,10 @@ def _assign_kernel(K, Kout, N1, N2, dtype, with_route=True):
         for k in range(K):
             for ox in (-1, 0, 1):
                 slot = 1 - ox      # source plane = target - ox
-                d = [drefs[slot][k, a, 0] for a in range(3)]
-                val = vrefs[slot][k, 0]
+                d = [dref(slot, k, a)[0] for a in range(3)]
+                val = vref(slot, k)[0]
                 base = k * len(offsets) + (ox + 1) * 9
                 if fori:
-                    # (oy, oz) as a lax.fori_loop with dynamic
-                    # rotates: 9x less live plane state than the
-                    # unroll (see _use_fori)
                     def body(i, carry, d=d, val=val, ox=ox,
                              base=base):
                         oy = i // 3 - 1
@@ -371,147 +347,136 @@ def _assign_kernel(K, Kout, N1, N2, dtype, with_route=True):
                                 + i.astype(jnp.float32))
                         return image(carry, d, val, ox, oy, oz,
                                      code, _shift2_dyn)
-                    # pytree carries: flatten the nested lists
                     flat, tree = jax.tree_util.tree_flatten(carry)
                     def fbody(i, flat, body=body, tree=tree):
                         c = jax.tree_util.tree_unflatten(tree, flat)
-                        c = body(i, c)
-                        return jax.tree_util.tree_leaves(c)
+                        return jax.tree_util.tree_leaves(body(i, c))
                     flat = jax.lax.fori_loop(0, 9, fbody, flat)
                     carry = jax.tree_util.tree_unflatten(tree, flat)
                 else:
                     for oi9, (oy, oz) in enumerate(
-                            itertools.product((-1, 0, 1),
-                                              repeat=2)):
+                            itertools.product((-1, 0, 1), repeat=2)):
                         code = np.float32(base + oi9)
                         carry = image(carry, d, val, ox, oy, oz,
                                       code, _shift2)
 
         running, over, nv, rt, nd = carry
         for j in range(Kout):
-            ov_ref[j, 0] = nv[j]
-            ort_ref[j, 0] = rt[j]
+            ov(j)[0] = nv[j]
+            ort(j)[0] = rt[j].astype(rdt)
             for a in range(3):
-                od_ref[j, a, 0] = nd[j][a]
+                od(j, a)[0] = nd[j][a]
         iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) \
             + 128 * jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         oo_ref[0] = jnp.where(iota == 0, over, 0.0)
     return kernel
 
 
-def _assign_split(dstack, vstack, K, Kout):
-    """phase A over the interior planes (no-copy sliding windows on
-    the original arrays) + the two wrap boundary planes."""
-    _, _, N0, N1, N2 = dstack.shape
-    dtype = dstack.dtype
-    kern = _assign_kernel(K, Kout, N1, N2, dtype)
+def _run_assign_t(dflat, vtup, K, Kout, in_maps, out_map, grid_len,
+                  N0_out):
+    """one tuple-form assign pallas_call: ``in_maps`` gives the three
+    x-window source-plane index maps, ``out_map`` the target plane."""
+    N1, N2 = dflat[0].shape[1:]
+    dtype = dflat[0].dtype
+    kern = _assign_kernel_t(K, Kout, N1, N2, dtype)
 
-    def run(d_in, v_in, d_maps, out_map, grid_len):
-        in_specs = (
-            [pl.BlockSpec((K, 3, 1, N1, N2), m,
-                          memory_space=pltpu.VMEM) for m in d_maps]
-            + [pl.BlockSpec((K, 1, N1, N2),
-                            (lambda mm: (lambda i: mm(i)[1:]))(m),
-                            memory_space=pltpu.VMEM) for m in d_maps])
-        out_specs = (
-            pl.BlockSpec((Kout, 3, 1, N1, N2),
-                         lambda i: (0, 0, out_map(i), 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kout, 1, N1, N2),
-                         lambda i: (0, out_map(i), 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kout, 1, N1, N2),
-                         lambda i: (0, out_map(i), 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda i: (out_map(i), 0, 0),
-                         memory_space=pltpu.VMEM))
-        out_shape = (
-            jax.ShapeDtypeStruct((Kout, 3, N0, N1, N2), dtype),
-            jax.ShapeDtypeStruct((Kout, N0, N1, N2), dtype),
-            jax.ShapeDtypeStruct((Kout, N0, N1, N2), jnp.float32),
-            jax.ShapeDtypeStruct((N0, 8, 128), jnp.float32))
-        return pl.pallas_call(
-            kern, grid=(grid_len,),
-            in_specs=in_specs, out_specs=out_specs,
-            out_shape=out_shape,
-            compiler_params=_params(), interpret=_interpret(),
-        )(d_in, d_in, d_in, v_in, v_in, v_in)
+    def ispec(m):
+        return pl.BlockSpec((1, N1, N2), lambda i, m=m: (m(i), 0, 0),
+                            memory_space=pltpu.VMEM)
 
-    if N0 < 4:
-        # tiny meshes: plain wrap-extended copy (memory is moot)
-        dext = jnp.concatenate([dstack[:, :, -1:], dstack,
-                                dstack[:, :, :1]], axis=2)
-        vext = jnp.concatenate([vstack[:, -1:], vstack,
-                                vstack[:, :1]], axis=1)
-        maps = [(lambda o: (lambda i, o=o: (0, 0, i + o, 0, 0)))(o)
-                for o in range(3)]
-        od, ov, rt, oo = run(dext, vext, maps, lambda i: i, N0)
-        return od, ov, rt, oo
-
-    # interior: output plane i+1 reads input planes i, i+1, i+2
-    maps = [(lambda o: (lambda i, o=o: (0, 0, i + o, 0, 0)))(o)
-            for o in range(3)]
-    od, ov, rt, oo = run(dstack, vstack, maps, lambda i: i + 1,
-                         N0 - 2)
-    # boundary planes 0 and N0-1 from a 4-plane wrap window:
-    # ext = [N0-2, N0-1, 0, 1]; output t=0 -> plane 0 (sources ext
-    # 1,2,3), t=1 -> plane N0-1 (sources ext 0,1,2)
-    dbe = _boundary_ext(dstack, 2)
-    vbe = _boundary_ext(vstack, 1)
-    bmaps = [(lambda o: (lambda t, o=o: (0, 0, o + 1 - t, 0, 0)))(o)
-             for o in range(3)]
-    kern_b = _assign_kernel(K, Kout, N1, N2, dtype)
-    bspecs = (
-        [pl.BlockSpec((K, 3, 1, N1, N2), m,
-                      memory_space=pltpu.VMEM) for m in bmaps]
-        + [pl.BlockSpec((K, 1, N1, N2),
-                        (lambda mm: (lambda t: mm(t)[1:]))(m),
-                        memory_space=pltpu.VMEM) for m in bmaps])
-    bout_specs = (
-        pl.BlockSpec((Kout, 3, 1, N1, N2), lambda t: (0, 0, t, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((Kout, 1, N1, N2), lambda t: (0, t, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((Kout, 1, N1, N2), lambda t: (0, t, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0),
-                     memory_space=pltpu.VMEM))
-    bshape = (
-        jax.ShapeDtypeStruct((Kout, 3, 2, N1, N2), dtype),
-        jax.ShapeDtypeStruct((Kout, 2, N1, N2), dtype),
-        jax.ShapeDtypeStruct((Kout, 2, N1, N2), jnp.float32),
-        jax.ShapeDtypeStruct((2, 8, 128), jnp.float32))
-    bd, bv, brt, boo = pl.pallas_call(
-        kern_b, grid=(2,),
-        in_specs=bspecs, out_specs=bout_specs, out_shape=bshape,
+    in_specs = ([ispec(m) for m in in_maps for _ in range(3 * K)]
+                + [ispec(m) for m in in_maps for _ in range(K)])
+    args = (list(dflat) * 3) + (list(vtup) * 3)
+    ospec = pl.BlockSpec((1, N1, N2), lambda i: (out_map(i), 0, 0),
+                         memory_space=pltpu.VMEM)
+    out_specs = ([ospec] * (5 * Kout)
+                 + [pl.BlockSpec((1, 8, 128),
+                                 lambda i: (out_map(i), 0, 0),
+                                 memory_space=pltpu.VMEM)])
+    # outputs are ordered [nd 3Kout][nv Kout][rt Kout][oo]
+    out_shape = ([jax.ShapeDtypeStruct((N0_out, N1, N2), dtype)
+                  for _ in range(3 * Kout + Kout)]
+                 + [jax.ShapeDtypeStruct((N0_out, N1, N2),
+                                         _route_dtype(K))
+                    for _ in range(Kout)]
+                 + [jax.ShapeDtypeStruct((N0_out, 8, 128),
+                                         jnp.float32)])
+    outs = pl.pallas_call(
+        kern, grid=(grid_len,),
+        in_specs=in_specs, out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         compiler_params=_params(), interpret=_interpret(),
-    )(dbe, dbe, dbe, vbe, vbe, vbe)
-    od = od.at[:, :, 0].set(bd[:, :, 0]).at[:, :, N0 - 1].set(
-        bd[:, :, 1])
-    ov = ov.at[:, 0].set(bv[:, 0]).at[:, N0 - 1].set(bv[:, 1])
-    rt = rt.at[:, 0].set(brt[:, 0]).at[:, N0 - 1].set(brt[:, 1])
-    oo = oo.at[0].set(boo[0]).at[N0 - 1].set(boo[1])
-    return od, ov, rt, oo
+    )(*args)
+    nd = outs[:3 * Kout]
+    nv = outs[3 * Kout:4 * Kout]
+    rt = outs[4 * Kout:5 * Kout]
+    oo = outs[5 * Kout]
+    return nd, nv, rt, oo
 
 
-def _apply_kernel(K, Kout, nextra, N1, N2, dtype):
+def _assign_split_t(dflat, vtup, K, Kout):
+    """tuple-form phase A: interior planes on the original arrays +
+    the two wrap boundary planes from 4-plane windows."""
+    N0 = dflat[0].shape[0]
+    interior_maps = [(lambda o: (lambda i, o=o: i + o))(o)
+                     for o in range(3)]
+    if N0 < 4:
+        dext = tuple(_extend_rows(x, 1, 1) for x in dflat)
+        vext = tuple(_extend_rows(x, 1, 1) for x in vtup)
+        return _run_assign_t(dext, vext, K, Kout, interior_maps,
+                             lambda i: i, N0, N0)
+
+    nd, nv, rt, oo = _run_assign_t(dflat, vtup, K, Kout,
+                                   interior_maps, lambda i: i + 1,
+                                   N0 - 2, N0)
+    # boundary planes 0 and N0-1: ext = [N0-2, N0-1, 0, 1]; target
+    # t=0 -> plane 0 (sources ext 1,2,3), t=1 -> plane N0-1 (0,1,2)
+    dbe = tuple(_boundary_ext(x, 0) for x in dflat)
+    vbe = tuple(_boundary_ext(x, 0) for x in vtup)
+    bmaps = [(lambda o: (lambda t, o=o: o + 1 - t))(o)
+             for o in range(3)]
+    bnd, bnv, brt, boo = _run_assign_t(dbe, vbe, K, Kout, bmaps,
+                                       lambda t: t, 2, 2)
+
+    def patch(x, b):
+        return x.at[0].set(b[0]).at[N0 - 1].set(b[1])
+
+    nd = tuple(patch(x, b) for x, b in zip(nd, bnd))
+    nv = tuple(patch(x, b) for x, b in zip(nv, bnv))
+    rt = tuple(patch(x, b) for x, b in zip(rt, brt))
+    oo = patch(oo, boo)
+    return nd, nv, rt, oo
+
+
+def _apply_kernel_t(K, Kout, nextra, N1, N2, dtype):
+    """_apply_kernel with per-array refs.
+
+    refs: [e(slot, e, k, a) : 9 nextra K] [rt(j) : Kout]
+    outs: [ne(e, j, a) : 3 nextra Kout]."""
     offsets = list(itertools.product((-1, 0, 1), repeat=3))
     fori = _use_fori(N1, N2)
+    NE = 3 * nextra * K
 
     def kernel(*refs):
-        erefs = refs[0:3]          # (nextra*K, 3, 1, N1, N2) windows
-        rref = refs[3]             # (Kout, 1, N1, N2) at the target
-        oe_ref = refs[4]
+        eref = lambda slot, e, k, a: refs[slot * NE + (e * K + k) * 3
+                                          + a]
+        rref = lambda j: refs[3 * NE + j]
+        orefs = refs[3 * NE + Kout:]
+        oe = lambda e, j, a: orefs[(e * Kout + j) * 3 + a]
 
         ne = [[[jnp.zeros((N1, N2), dtype) for _ in range(3)]
                for _ in range(Kout)] for _ in range(nextra)]
+        # upcast the route planes ONCE; comparing at bf16 layout
+        # would relayout the i1 masks (see _assign_kernel_t)
+        routes = [rref(j)[0].astype(jnp.float32)
+                  for j in range(Kout)]
 
         def image(ne, eplanes, oy, oz, code, shift):
             ne = [[list(row) for row in blk] for blk in ne]
             moved = [[shift(eplanes[e][a], -oy, -oz)
                       for a in range(3)] for e in range(nextra)]
             for j in range(Kout):
-                put = rref[j, 0] == code
+                put = routes[j] == code
                 for e in range(nextra):
                     for a in range(3):
                         ne[e][j][a] = jnp.where(
@@ -521,7 +486,7 @@ def _apply_kernel(K, Kout, nextra, N1, N2, dtype):
         for k in range(K):
             for ox in (-1, 0, 1):
                 slot = 1 - ox
-                eplanes = [[erefs[slot][e * K + k, a, 0]
+                eplanes = [[eref(slot, e, k, a)[0]
                             for a in range(3)]
                            for e in range(nextra)]
                 base = k * len(offsets) + (ox + 1) * 9
@@ -541,83 +506,86 @@ def _apply_kernel(K, Kout, nextra, N1, N2, dtype):
                     ne = jax.tree_util.tree_unflatten(tree, flat)
                 else:
                     for oi9, (oy, oz) in enumerate(
-                            itertools.product((-1, 0, 1),
-                                              repeat=2)):
-                        ne = image(ne, eplanes,
-                                   oy, oz,
+                            itertools.product((-1, 0, 1), repeat=2)):
+                        ne = image(ne, eplanes, oy, oz,
                                    np.float32(base + oi9), _shift2)
         for e in range(nextra):
             for j in range(Kout):
                 for a in range(3):
-                    oe_ref[e * Kout + j, a, 0] = ne[e][j][a]
+                    oe(e, j, a)[0] = ne[e][j][a]
     return kernel
 
 
-def _apply_split(route, estacks, K, Kout, nextra):
-    """phase B: move extras by replaying the route codes."""
-    _, _, N0, N1, N2 = estacks.shape[-5:]
-    dtype = estacks.dtype
-    eflat = estacks.reshape((nextra * K, 3, N0, N1, N2))
-    kern = _apply_kernel(K, Kout, nextra, N1, N2, dtype)
+def _run_apply_t(eflat, rtup, K, Kout, nextra, in_maps, rt_map,
+                 out_map, grid_len, N0_out):
+    N1, N2 = eflat[0].shape[1:]
+    dtype = eflat[0].dtype
+    kern = _apply_kernel_t(K, Kout, nextra, N1, N2, dtype)
 
-    def especs(maps):
-        return [pl.BlockSpec((nextra * K, 3, 1, N1, N2), m,
-                             memory_space=pltpu.VMEM) for m in maps]
-
-    def rspec(rmap):
-        return pl.BlockSpec((Kout, 1, N1, N2),
-                            lambda i: (0, rmap(i), 0, 0),
+    def ispec(m):
+        return pl.BlockSpec((1, N1, N2), lambda i, m=m: (m(i), 0, 0),
                             memory_space=pltpu.VMEM)
 
-    def ospec(omap):
-        return pl.BlockSpec((nextra * Kout, 3, 1, N1, N2),
-                            lambda i: (0, 0, omap(i), 0, 0),
-                            memory_space=pltpu.VMEM)
+    in_specs = ([ispec(m) for m in in_maps
+                 for _ in range(3 * nextra * K)]
+                + [ispec(rt_map) for _ in range(Kout)])
+    args = (list(eflat) * 3) + list(rtup)
+    ospec = pl.BlockSpec((1, N1, N2), lambda i: (out_map(i), 0, 0),
+                         memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kern, grid=(grid_len,),
+        in_specs=in_specs,
+        out_specs=tuple([ospec] * (3 * nextra * Kout)),
+        out_shape=tuple(jax.ShapeDtypeStruct((N0_out, N1, N2), dtype)
+                        for _ in range(3 * nextra * Kout)),
+        compiler_params=_params(), interpret=_interpret(),
+    )(*args)
+    return outs
 
-    oshape = jax.ShapeDtypeStruct((nextra * Kout, 3, N0, N1, N2),
-                                  dtype)
+
+def _apply_split_t(rtup, eflat, K, Kout, nextra):
+    N0 = eflat[0].shape[0]
+    interior_maps = [(lambda o: (lambda i, o=o: i + o))(o)
+                     for o in range(3)]
     if N0 < 4:
-        eext = jnp.concatenate([eflat[:, :, -1:], eflat,
-                                eflat[:, :, :1]], axis=2)
-        maps = [(lambda o: (lambda i, o=o: (0, 0, i + o, 0, 0)))(o)
-                for o in range(3)]
-        oe = pl.pallas_call(
-            kern, grid=(N0,),
-            in_specs=especs(maps) + [rspec(lambda i: i)],
-            out_specs=ospec(lambda i: i), out_shape=oshape,
-            compiler_params=_params(), interpret=_interpret(),
-        )(eext, eext, eext, route)
-        return oe.reshape((nextra, Kout, 3, N0, N1, N2))
-
-    maps = [(lambda o: (lambda i, o=o: (0, 0, i + o, 0, 0)))(o)
-            for o in range(3)]
-    oe = pl.pallas_call(
-        kern, grid=(N0 - 2,),
-        in_specs=especs(maps) + [rspec(lambda i: i + 1)],
-        out_specs=ospec(lambda i: i + 1), out_shape=oshape,
-        compiler_params=_params(), interpret=_interpret(),
-    )(eflat, eflat, eflat, route)
-    ebe = _boundary_ext(eflat, 2)
-    bmaps = [(lambda o: (lambda t, o=o: (0, 0, o + 1 - t, 0, 0)))(o)
+        eext = tuple(_extend_rows(x, 1, 1) for x in eflat)
+        return _run_apply_t(eext, rtup, K, Kout, nextra,
+                            interior_maps, lambda i: i, lambda i: i,
+                            N0, N0)
+    oe = _run_apply_t(eflat, rtup, K, Kout, nextra, interior_maps,
+                      lambda i: i + 1, lambda i: i + 1, N0 - 2, N0)
+    ebe = tuple(_boundary_ext(x, 0) for x in eflat)
+    rbe = tuple(_boundary_ext(x, 0) for x in rtup)
+    bmaps = [(lambda o: (lambda t, o=o: o + 1 - t))(o)
              for o in range(3)]
-    rbe = _boundary_ext(route, 1)
-    kern_b = _apply_kernel(K, Kout, nextra, N1, N2, dtype)
-    boe = pl.pallas_call(
-        kern_b, grid=(2,),
-        in_specs=especs(bmaps)
-        + [pl.BlockSpec((Kout, 1, N1, N2),
-                        lambda t: (0, 2 - t, 0, 0),
-                        memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((nextra * Kout, 3, 1, N1, N2),
-                               lambda t: (0, 0, t, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (nextra * Kout, 3, 2, N1, N2), dtype),
-        compiler_params=_params(), interpret=_interpret(),
-    )(ebe, ebe, ebe, rbe)
-    oe = oe.at[:, :, 0].set(boe[:, :, 0]).at[:, :, N0 - 1].set(
-        boe[:, :, 1])
-    return oe.reshape((nextra, Kout, 3, N0, N1, N2))
+    boe = _run_apply_t(ebe, rbe, K, Kout, nextra, bmaps,
+                       lambda t: 2 - t, lambda t: t, 2, 2)
+    return tuple(x.at[0].set(b[0]).at[N0 - 1].set(b[1])
+                 for x, b in zip(oe, boe))
+
+
+@functools.partial(jax.jit, static_argnames=('K', 'Kout', 'nextra'))
+def rebase_fused_t(dflat, vtup, eflat, K, Kout, nextra):
+    """tuple-form split rebase: two-phase assign/apply execution on
+    flat tuples of arrays (dflat: K*3 k-major, vtup: K, eflat:
+    nextra*K*3 (e,k,a)-major), returning flat tuples (nd: Kout*3,
+    nv: Kout, ne: nextra*Kout*3, overflow).  Phase A reads only
+    displacements+validity and emits a per-slot ROUTE code; phase B
+    replays the route on the extra payloads, so the old displacements
+    are dead before the new velocities are born.
+
+    No stacked temporaries: at 512^3 K=2 + velocities the stacked
+    form's jnp.stack/unstack copies alone are ~7 GB — more than the
+    donated state itself — and pushed the superstep to 19 GB on a
+    15.75 GB chip."""
+    nd, nv, rt, oo = _assign_split_t(tuple(dflat), tuple(vtup),
+                                     K, Kout)
+    overflow = jnp.sum(oo).astype(jnp.int32)
+    if nextra:
+        ne = _apply_split_t(rt, tuple(eflat), K, Kout, nextra)
+    else:
+        ne = ()
+    return tuple(nd), tuple(nv), tuple(ne), overflow
 
 
 @functools.partial(jax.jit, static_argnames=('procmesh', 'K', 'Kout',

@@ -653,10 +653,19 @@ def decompose(procmesh, pos0_grid, N0, npart, smoothing,
         then carries (1+2*kside)x the particle memory).  'auto' runs
         :func:`measure_ghosts` on the given (concrete) positions and
         pads the measured per-channel max by ``slack`` — overflow
-        from later drift poisons, never silently drops.
+        from later drift poisons, never silently drops.  'auto' also
+        GROWS a defaulted ``kside`` to the measured residency reach:
+        an equal-count quantile reshard of a clustered catalog parks
+        whole blocks slabs away from home (a dense pancake holding
+        >1/D of the mass shifts every later particle's rank), and a
+        smoothing-derived radius would poison the plan instead of
+        delivering the ghosts (the reference's decompose enumerates
+        whatever domain range each particle touches,
+        domain.py:561-652 — no fixed radius to outgrow).
     """
     D = procmesh.size
     rows = _slab_rows(N0, D)
+    kside_given = kside is not None
     if kside is None:
         kside = _default_kside(smoothing, rows, D, N0=N0)
         if rows * D != N0:
@@ -691,8 +700,21 @@ def decompose(procmesh, pos0_grid, N0, npart, smoothing,
                                      sentinel])
     nl = npart_pad // D
     if capacity == 'auto':
-        counts, _ = measure_ghosts(procmesh, pos0_grid, N0, npart,
-                                   smoothing, kside=kside)
+        counts, reach = measure_ghosts(procmesh, pos0_grid, N0,
+                                       npart, smoothing, kside=kside)
+        r = int(reach)
+        if r > kside and not kside_given:
+            rmax = (D - 1) // 2      # ring-unique channel radius
+            if r > rmax:
+                raise ValueError(
+                    "measured ghost reach %d slab-blocks exceeds the "
+                    "ring radius %d on %d devices: the catalog is too "
+                    "clustered for an equal-count slab residency — "
+                    "rebalance (pm.reshard_particles) or use a 2-d "
+                    "process grid" % (r, rmax, D))
+            kside = r
+            counts, _ = measure_ghosts(procmesh, pos0_grid, N0,
+                                       npart, smoothing, kside=kside)
         capacity = int(np.ceil(float(counts.max()) * float(slack)))
         capacity = max(capacity, 16)
     if capacity is None:

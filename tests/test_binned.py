@@ -51,6 +51,43 @@ def test_rebase_preserves_density_and_extras():
     assert abs(mom_in - mom_out) < 1e-8
 
 
+def test_fold_lattice_matches_rebase():
+    """the sort-based initial fold (O(N) memory, any excursion) must
+    agree with the roll-based rebase on a wide-excursion lattice
+    state: same density, same per-slot-aggregate momentum, same
+    needed slot count."""
+    N = 12
+    rng = np.random.RandomState(5)
+    disp = tuple(jnp.asarray(rng.uniform(-2.4, 3.1, (N, N, N)))
+                 for _ in range(3))
+    vel = tuple(jnp.asarray(rng.normal(size=(N, N, N)))
+                for _ in range(3))
+
+    need = int(jax.jit(bn.fold_needed)(disp))
+    ds_r, vs_r, va_r = bn.from_lattice(disp, vel, nslots=need)
+    ds_r, va_r, (vs_r,), ov_r = bn.rebase(
+        ds_r, va_r, (-2.4, 4.1), extras=(vs_r,), nslots_out=need)
+    assert int(ov_r) == 0
+
+    ds_f, vs_f, va_f, ov_f = bn.fold_lattice(disp, vel, nslots=need)
+    assert int(ov_f) == 0
+
+    rho_r = bn.paint_binned(ds_r, va_r, bounds=(0., 1.))
+    rho_f = bn.paint_binned(ds_f, va_f, bounds=(0., 1.))
+    assert_allclose(np.asarray(rho_f), np.asarray(rho_r), atol=1e-9)
+    for d in range(3):
+        mom_r = sum(float(jnp.sum(vs_r[k][d] * va_r[k]))
+                    for k in range(need))
+        mom_f = sum(float(jnp.sum(vs_f[k][d] * va_f[k]))
+                    for k in range(need))
+        assert abs(mom_r - mom_f) < 1e-8
+    # one slot short must poison, never drop
+    ds_o, vs_o, va_o, ov_o = bn.fold_lattice(disp, vel,
+                                             nslots=need - 1)
+    assert int(ov_o) > 0
+    assert np.isnan(np.asarray(ds_o[0][0])).all()
+
+
 def test_rebase_escape_poisons():
     """a particle drifting beyond the declared drift bounds must
     poison the state, never silently vanish (the VERDICT's

@@ -26,16 +26,18 @@ def pmesh8():
     return ProcessMesh(jax.devices()[:8])
 
 
-def _clustered_state(N, npart, seed=3):
-    """LPT-amplitude clustering: half uniform, half in two gaussian
-    pancakes — the exchange stress shape (ghost counts follow the
-    density)."""
+def _clustered_state(N, npart, seed=3, ufrac=0.75, sig=(0.04, 0.03)):
+    """LPT-amplitude clustering: ``ufrac`` uniform, the rest in two
+    gaussian pancakes — the exchange stress shape (ghost counts
+    follow the density).  The defaults keep whole-block residency
+    displacement mild; ufrac=0.5 with tight sigmas parks entire
+    equal-count blocks slabs from home (the kside-growth regime)."""
     rng = np.random.RandomState(seed)
-    n1 = npart // 2
+    n1 = int(npart * ufrac)
     g0 = np.concatenate([
         rng.uniform(0, N, n1),
-        rng.normal(N * 0.37, N * 0.02, (npart - n1) // 2) % N,
-        rng.normal(N * 0.81, N * 0.015,
+        rng.normal(N * 0.37, N * sig[0], (npart - n1) // 2) % N,
+        rng.normal(N * 0.81, N * sig[1],
                    npart - n1 - (npart - n1) // 2) % N])
     X = np.stack([g0] + [rng.uniform(0, N, npart)
                          for _ in range(2)], axis=-1)
@@ -67,6 +69,28 @@ def test_exchange_auto_capacity_clustered_128(pmesh8):
     load = ex.measure_load(pm8.procmesh, jnp.asarray(X8)[:, 0], N,
                            smoothing=1.0)
     assert load['imbalance'] > 1.0
+
+
+def test_exchange_auto_kside_growth_128(pmesh8):
+    """a catalog clustered hard enough that the equal-count quantile
+    reshard parks whole blocks slabs from home: capacity='auto' must
+    GROW the channel radius to the measured residency reach and
+    deliver every ghost (the reference's decompose never has a fixed
+    radius to outgrow, domain.py:561-652) — it must not poison."""
+    N = 128
+    npart = N * N * 16
+    X = _clustered_state(N, npart, ufrac=0.5, sig=(0.02, 0.015))
+    pm1 = ParticleMesh(Nmesh=[N] * 3, BoxSize=float(N), dtype='f8')
+    pm8 = ParticleMesh(Nmesh=[N] * 3, BoxSize=float(N), dtype='f8',
+                       procmesh=pmesh8)
+    X8 = pm8.reshard_particles(X)
+    lay = pm8.decompose(X8, capacity='auto')
+    assert float(lay.badness) == 0.0
+    assert lay.kside > 2          # grew past the smoothing default
+    rho1 = pm1.paint(np.asarray(X))
+    rho8 = pm8.paint(X8, layout=lay)
+    assert_allclose(np.asarray(rho8.value), np.asarray(rho1.value),
+                    atol=1e-11)
 
 
 def test_sharded_kdk_128(pmesh8):
